@@ -1,0 +1,155 @@
+"""Modulated deformable convolution (DCNv2) — XLA reference implementation.
+
+Parity target: the reference's CUDA extension forward
+(``codes/models/modules/DCNv2/src/cuda/dcn_v2_im2col_cuda.cu:25-195`` +
+``dcn_v2_cuda.cu:19-160``): per-tap learned (dy, dx) offsets shared across each
+deformable group's channels, bilinear sampling with zero padding (a sample
+whose 4-corner support is fully outside contributes 0; partially-outside
+corners contribute 0 per corner), sigmoid-modulated mask, then a dense
+contraction with the conv weight over (Cin x kh x kw).
+
+TPU-first design: the sample positions and bilinear corner weights are VPU
+elementwise math; the four corner reads are batched gathers over the flattened
+spatial axis; the final contraction is one big (Q, Cin*K) x (Cin*K, Cout)
+matmul that maps straight onto the MXU. Because everything is expressed in
+differentiable jnp ops (gathers lower to scatter-add on the backward pass),
+``jax.grad`` reproduces the reference's hand-written backward semantics
+(``dcn_v2_im2col_cuda.cu:56-123``) with no custom VJP.
+
+A fused Pallas kernel for the hot path lives in
+``stif_tpu.ops.deform_conv_pallas``; this module is the semantic reference and
+the fallback for CPU tests.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple, Union
+
+import jax
+import jax.numpy as jnp
+
+IntPair = Union[int, Tuple[int, int]]
+
+
+def _pair(v: IntPair) -> Tuple[int, int]:
+    return (v, v) if isinstance(v, int) else tuple(v)
+
+
+def split_offset_mask(conv_out, deformable_groups: int, kernel_size: IntPair = 3):
+    """Split a raw offset/mask conv output into (offset, mask).
+
+    ``conv_out``: (B, H, W, 3*G*K) laid out like the reference's
+    ``conv_offset_mask`` output chunked into (o1, o2, mask_logits)
+    (``DCNv2/dcn_v2.py:130-138``): ``offset = concat(o1, o2)`` then read per
+    group as interleaved (dy, dx) pairs per tap.
+
+    Returns offset (B, H, W, G, K, 2) with [..., 0]=dy, [..., 1]=dx, and
+    sigmoid mask (B, H, W, G, K).
+    """
+    kh, kw = _pair(kernel_size)
+    K = kh * kw
+    G = deformable_groups
+    B, H, W, _ = conv_out.shape
+    o1 = conv_out[..., : G * K]
+    o2 = conv_out[..., G * K : 2 * G * K]
+    mask_logits = conv_out[..., 2 * G * K :]
+    offset = jnp.concatenate([o1, o2], axis=-1).reshape(B, H, W, G, K, 2)
+    mask = jax.nn.sigmoid(mask_logits.reshape(B, H, W, G, K))
+    return offset, mask
+
+
+def deform_conv2d(
+    x,
+    offset,
+    mask,
+    weight,
+    bias=None,
+    stride: IntPair = 1,
+    padding: IntPair = 1,
+    dilation: IntPair = 1,
+):
+    """Modulated deformable conv, channels-last.
+
+    Args:
+      x:       (B, H, W, Cin)
+      offset:  (B, Ho, Wo, G, K, 2) per-group per-tap (dy, dx) in pixels
+      mask:    (B, Ho, Wo, G, K) modulation (already sigmoided)
+      weight:  (kh, kw, Cin, Cout) HWIO
+      bias:    (Cout,) or None
+    Returns (B, Ho, Wo, Cout).
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    G = offset.shape[3]
+    CpG = Cin // G
+    sh, sw = _pair(stride)
+    ph, pw = _pair(padding)
+    dh, dw = _pair(dilation)
+    Ho, Wo = offset.shape[1], offset.shape[2]
+    Q = Ho * Wo
+
+    f32 = jnp.float32
+    # Base sampling positions per output pixel and tap.
+    ys = (jnp.arange(Ho, dtype=f32) * sh - ph)[:, None, None]  # (Ho,1,1)
+    xs = (jnp.arange(Wo, dtype=f32) * sw - pw)[None, :, None]  # (1,Wo,1)
+    ti = (jnp.arange(kh, dtype=f32) * dh)[:, None].repeat(kw, 1).reshape(K)
+    tj = (jnp.arange(kw, dtype=f32) * dw)[None, :].repeat(kh, 0).reshape(K)
+
+    off = offset.astype(f32).reshape(B, Q, G, K, 2)
+    base_y = jnp.broadcast_to(ys + ti[None, None], (Ho, Wo, K)).reshape(1, Q, 1, K)
+    base_x = jnp.broadcast_to(xs + tj[None, None], (Ho, Wo, K)).reshape(1, Q, 1, K)
+    py = base_y + off[..., 0]  # (B, Q, G, K)
+    px = base_x + off[..., 1]
+
+    y0 = jnp.floor(py)
+    x0 = jnp.floor(px)
+    ly = py - y0
+    lx = px - x0
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    y1i = y0i + 1
+    x1i = x0i + 1
+
+    vy0 = (y0i >= 0) & (y0i < H)
+    vy1 = (y1i >= 0) & (y1i < H)
+    vx0 = (x0i >= 0) & (x0i < W)
+    vx1 = (x1i >= 0) & (x1i < W)
+
+    y0c = jnp.clip(y0i, 0, H - 1)
+    y1c = jnp.clip(y1i, 0, H - 1)
+    x0c = jnp.clip(x0i, 0, W - 1)
+    x1c = jnp.clip(x1i, 0, W - 1)
+
+    # (B, HW, G, CpG) source, gathered with (B, Q*K, G, 1) indices.
+    x_flat = x.astype(f32).reshape(B, H * W, G, CpG)
+
+    def corner(yc, xc, wgt):
+        idx = (yc * W + xc).transpose(0, 1, 3, 2).reshape(B, Q * K, G, 1)
+        v = jnp.take_along_axis(x_flat, idx, axis=1)  # (B, Q*K, G, CpG)
+        w = wgt.transpose(0, 1, 3, 2).reshape(B, Q * K, G, 1)
+        return v * w
+
+    w00 = jnp.where(vy0 & vx0, (1 - ly) * (1 - lx), 0.0)
+    w01 = jnp.where(vy0 & vx1, (1 - ly) * lx, 0.0)
+    w10 = jnp.where(vy1 & vx0, ly * (1 - lx), 0.0)
+    w11 = jnp.where(vy1 & vx1, ly * lx, 0.0)
+
+    col = (
+        corner(y0c, x0c, w00)
+        + corner(y0c, x1c, w01)
+        + corner(y1c, x0c, w10)
+        + corner(y1c, x1c, w11)
+    )  # (B, Q*K, G, CpG)
+
+    m = mask.astype(f32).reshape(B, Q, G, K).transpose(0, 1, 3, 2)
+    col = col.reshape(B, Q, K, G, CpG) * m.reshape(B, Q, K, G, 1)
+
+    # Contract with weight on the MXU: (B*Q, K*Cin) @ (K*Cin, Cout).
+    w = weight.astype(f32).reshape(K, Cin, Cout).reshape(K, G, CpG, Cout)
+    out = jnp.einsum(
+        "bqkgc,kgco->bqo", col, w, preferred_element_type=f32
+    )
+    if bias is not None:
+        out = out + bias.astype(f32)
+    return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
