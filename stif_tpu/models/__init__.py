@@ -1,0 +1,4 @@
+from stif_tpu.models.luna_tokis import LunaTokis
+from stif_tpu.models.registry import register_model, make_model
+
+__all__ = ["LunaTokis", "register_model", "make_model"]

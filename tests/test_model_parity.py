@@ -1,0 +1,104 @@
+"""End-to-end model parity: flax LunaTokis vs the independent torch mirror.
+
+The mirror (tools/torch_mirror.py) implements the reference semantics with
+torch's own grid_sample/interpolate kernels; identical weights flow through
+``stif_tpu.convert``. This replaces per-module activation recording against
+``latest_G.pth`` (the checkpoint blob is stripped from the reference repo —
+SURVEY.md §6, build plan step 4 fallback).
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+
+from stif_tpu.models import LunaTokis
+import torch_mirror
+
+
+CFG = dict(nf=16, nframes=6, groups=4, front_RBs=2, back_RBs=2)
+H = W = 8
+
+
+@pytest.fixture(scope="module")
+def pair():
+    """(flax model, params, torch mirror with identical weights)."""
+    model = LunaTokis(**CFG)
+    x = jnp.zeros((1, 2, H, W, 3))
+    times = jnp.asarray([0.0, 0.5])
+    params = model.init(jax.random.PRNGKey(42), x, times,
+                        method=model.full_init)
+    mirror = torch_mirror.LunaTokis(**CFG)
+    torch_mirror.load_flax_params(mirror, params)
+    mirror.eval()
+    return model, params, mirror
+
+
+def _rand_clip(rng, b=1, n=2):
+    return rng.random((b, n, 3, H, W)).astype(np.float32)
+
+
+class TestEncoderParity:
+    def test_gen_feat(self, pair, rng):
+        model, params, mirror = pair
+        x = _rand_clip(rng)
+        with torch.no_grad():
+            mirror.gen_feat(torch.from_numpy(x))
+            want = mirror.feat.numpy()  # (B, T, C, H, W)
+        got = model.apply(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                          method=model.gen_feat)
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestFullParity:
+    @pytest.mark.parametrize("test_mode", [False, True])
+    def test_forward(self, pair, rng, test_mode):
+        model, params, mirror = pair
+        x = _rand_clip(rng)
+        times_np = np.asarray([0.0, 0.25, 1.0], np.float32)
+        with torch.no_grad():
+            want = mirror(
+                torch.from_numpy(x),
+                [torch.tensor(t) for t in times_np],
+                scale=4 if test_mode else None,
+                test=test_mode,
+            )
+            want = np.stack([w.numpy() for w in want])  # (nt, B, 3, HH, WW)
+        got = model.apply(
+            params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(times_np), test=test_mode,
+        )
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_legacy_pixelshuffle_head(self, pair, rng):
+        model, params, mirror = pair
+        x = _rand_clip(rng)
+        with torch.no_grad():
+            mirror.gen_feat(torch.from_numpy(x))
+            f = mirror.feat
+            B, T, C, Hf, Wf = f.shape
+            z = f.view(-1, C, Hf, Wf)
+            z = torch_mirror.lrelu(F_pixel_shuffle(mirror.upconv1(z), 2))
+            z = torch_mirror.lrelu(F_pixel_shuffle(mirror.upconv2(z), 2))
+            z = mirror.conv_last(torch_mirror.lrelu(mirror.HRconv(z)))
+            want = z.view(B, T, 3, 4 * Hf, 4 * Wf).numpy()
+        feat = model.apply(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                           method=model.gen_feat)
+        got = model.apply(params, feat, method=model.decode_pixelshuffle)
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def F_pixel_shuffle(x, r):
+    return torch.nn.functional.pixel_shuffle(x, r)
