@@ -1,0 +1,82 @@
+"""Batch collation, including the arbitrary-scale degradation collate.
+
+Parity target: ``collate_function2`` (``codes/data/__init__.py:124-154``) —
+the batch-level random-scale augmentation that trains the continuous decoder:
+draw d in U(2, 4), crop GT_size = floor(64*d), LQ = bicubic 1/(2d) downscale
+(-> 32 px), GT = bicubic 1/2 downscale (-> 32*d px), joint flip/rot, BGR->RGB.
+
+TPU adaptation: continuous d makes every batch a new XLA program shape.
+``scale_buckets`` quantizes d to a finite set so GT sizes repeat and compiled
+programs are reused — semantically the same augmentation family, bounded
+compile count. Outputs stay NHWC float32.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from typing import Optional, Sequence
+
+import numpy as np
+
+
+def collate_fixed(samples):
+    """Stack dict samples with identical shapes (Vimeo7 / Adobe fixed-scale)."""
+    out = {}
+    for k in samples[0]:
+        if k == "key":
+            out[k] = [s[k] for s in samples]
+        else:
+            out[k] = np.stack([s[k] for s in samples])
+    # times are identical across the batch for fixed datasets; model takes (nt,)
+    if out.get("times") is not None and out["times"].ndim == 2:
+        out["times"] = out["times"][0]
+    return out
+
+
+def collate_arbitrary_scale(samples, lq_size: int = 64,
+                            scale_buckets: Optional[Sequence[float]] = None,
+                            rng: random.Random = random):
+    """samples: list of AdobeArbitraryDataset items (raw uint8 BGR).
+
+    Returns {'LQs': (B, 2, h, w, 3), 'GT': (B, 3, H, W, 3), 'times': (3,)}
+    RGB float32. Note: like the reference, the 3 sampled times differ per
+    sample but the *batch* shares one crop/scale; times come back per-sample
+    as (B, 3) — the trainer uses per-sample time conditioning.
+    """
+    from stif_tpu.data.transforms import augment_stack
+    from stif_tpu.ops.resize import imresize
+
+    if scale_buckets:
+        d = rng.choice(list(scale_buckets))
+    else:
+        d = rng.uniform(2, 4)
+    gt_size = int(math.floor(lq_size * d))
+
+    h0, w0 = samples[0]["LQs_raw"][0].shape[:2]
+    x = rng.randint(0, max(0, min(h0, w0) - gt_size))
+    y = rng.randint(0, max(0, max(h0, w0) - gt_size))
+
+    def crop(img):
+        if img.shape[0] == h0 and h0 <= w0:
+            return img[x:x + gt_size, y:y + gt_size]
+        return img[y:y + gt_size, x:x + gt_size]
+
+    lq_crops = np.stack([
+        np.stack([crop(im) for im in s["LQs_raw"]]) for s in samples
+    ])  # (B, 2, g, g, 3) uint8
+    gt_crops = np.stack([
+        np.stack([crop(im) for im in s["GT_raw"]]) for s in samples
+    ])  # (B, 3, g, g, 3)
+
+    lqs = np.array(imresize(lq_crops.astype(np.float32), 1.0 / (2 * d)))
+    gts = np.array(imresize(gt_crops.astype(np.float32), 0.5))
+    lqs /= 255.0
+    gts /= 255.0
+
+    lqs, gts = augment_stack([lqs, gts], True, True, rng)
+    lqs = np.ascontiguousarray(lqs[..., ::-1])  # BGR -> RGB
+    gts = np.ascontiguousarray(gts[..., ::-1])
+    times = np.stack([s["times"] for s in samples])  # (B, 3)
+    return {"LQs": lqs.astype(np.float32), "GT": gts.astype(np.float32),
+            "times": times, "shape": gts.shape[2:4]}

@@ -1,0 +1,247 @@
+"""Training datasets.
+
+Parity targets:
+  * ``Vimeo7Dataset`` (``codes/data/Vimeo7_dataset.py``): Vimeo-90K
+    septuplets; LQ = every 2nd of the N GT frames; temporal augmentation
+    (random center index 2..6, random interval, random reverse, optional
+    border mode); random GT crop with matching LQ crop; flip/rot.
+  * ``AdobeDataset`` (``codes/data/Adobe_dataset.py``): Adobe240fps windows;
+    inputs = frame pair (i, i+8); GT = 1 random frame of the 9-frame window
+    with its time = idx/8.
+  * ``AdobeArbitraryDataset`` (``codes/data/Adobe_arbitrary.py``): same scan;
+    3 random GT times per window; returns raw uint8 arrays — scale
+    augmentation deferred to the batch collate.
+
+Backend: plain image folders via cv2 (the reference's lmdb/memcached backends
+are cluster-specific dead weight here; the scan logic is preserved). Unlike
+the reference, roots/lists are arguments — no hardcoded paths.
+"""
+
+from __future__ import annotations
+
+import os
+import os.path as osp
+import random
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+
+def _read_img(path: str) -> np.ndarray:
+    """BGR HWC uint8 (cv2 convention, like the reference readers)."""
+    import cv2
+
+    img = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+    if img is None:
+        raise FileNotFoundError(path)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, axis=-1)
+    return img[..., :3]
+
+
+class Vimeo7Dataset:
+    """Septuplet folders: ``root/<a>/<b>/im{1..7}.png``.
+
+    Returns dict with ``LQs`` (N_in, h, w, 3), ``GT`` (N_out, H, W, 3) float32
+    BGR->RGB already swapped, NHWC, plus ``times`` and ``key``.
+    """
+
+    def __init__(self, gt_root: str, lq_root: Optional[str] = None,
+                 n_frames: int = 7, gt_size: int = 192, scale: int = 4,
+                 interval_list: Sequence[int] = (1,),
+                 random_reverse: bool = False, use_flip: bool = True,
+                 use_rot: bool = True, keys: Optional[List[str]] = None,
+                 phase: str = "train", seed: Optional[int] = None):
+        self.gt_root, self.lq_root = gt_root, lq_root or gt_root
+        self.n_frames = n_frames
+        self.half = n_frames // 2
+        self.gt_size, self.scale = gt_size, scale
+        self.interval_list = list(interval_list)
+        self.random_reverse = random_reverse
+        self.use_flip, self.use_rot = use_flip, use_rot
+        self.phase = phase
+        self.rng = random.Random(seed)
+        if keys is None:
+            keys = []
+            for a in sorted(os.listdir(gt_root)):
+                pa = osp.join(gt_root, a)
+                if not osp.isdir(pa):
+                    continue
+                for b in sorted(os.listdir(pa)):
+                    if osp.isdir(osp.join(pa, b)):
+                        keys.append(f"{a}_{b}")
+        self.keys = keys
+
+    def __len__(self):
+        return len(self.keys)
+
+    def __getitem__(self, index: int):
+        from stif_tpu.data.transforms import augment_stack
+
+        key = self.keys[index]
+        name_a, name_b = key.split("_")
+        interval = self.rng.choice(self.interval_list)
+        center = self.rng.randint(2, 6)
+        while (center + self.half * interval > 7) or (
+            center - self.half * interval < 1
+        ):
+            center = self.rng.randint(2, 6)
+        neighbors = list(range(center - self.half * interval,
+                               center + self.half * interval + 1, interval))
+        if self.random_reverse and self.rng.random() < 0.5:
+            neighbors.reverse()
+        lq_idx = neighbors[::2]  # LQ frames = every 2nd GT frame (:52-54)
+
+        gt_dir = osp.join(self.gt_root, name_a, name_b)
+        lq_dir = osp.join(self.lq_root, name_a, name_b)
+        img_gt = [
+            _read_img(osp.join(gt_dir, f"im{i}.png")).astype(np.float32) / 255.0
+            for i in neighbors
+        ]
+        img_lq = [
+            _read_img(osp.join(lq_dir, f"im{i}.png")).astype(np.float32) / 255.0
+            for i in lq_idx
+        ]
+
+        if self.phase == "train":
+            s = self.scale
+            lh, lw = img_lq[0].shape[:2]
+            lq_size = self.gt_size // s
+            rh = self.rng.randint(0, max(0, lh - lq_size))
+            rw = self.rng.randint(0, max(0, lw - lq_size))
+            img_lq = [im[rh:rh + lq_size, rw:rw + lq_size] for im in img_lq]
+            gh, gw = rh * s, rw * s
+            img_gt = [im[gh:gh + self.gt_size, gw:gw + self.gt_size]
+                      for im in img_gt]
+            stack = augment_stack(img_lq + img_gt, self.use_flip,
+                                  self.use_rot, self.rng)
+            img_lq = stack[: len(img_lq)]
+            img_gt = stack[len(img_lq):]
+
+        lqs = np.stack(img_lq)[..., ::-1]  # BGR -> RGB
+        gts = np.stack(img_gt)[..., ::-1]
+        times = np.asarray(
+            [i / (len(neighbors) - 1) for i in range(len(neighbors))],
+            np.float32,
+        )
+        return {"LQs": np.ascontiguousarray(lqs),
+                "GT": np.ascontiguousarray(gts), "times": times, "key": key}
+
+
+def _scan_adobe(gt_root: str, video_list: Sequence[str], interval: int = 7):
+    """Window scan of ``Adobe_arbitrary.py:90-108``: numerically sorted
+    frames; windows [i, i+interval+1] advancing by 1."""
+    file_list, gt_list = [], []
+    for video in video_list:
+        video = video.strip()
+        frames = os.listdir(osp.join(gt_root, video))
+        frames = sorted(int(f.rsplit(".", 1)[0]) for f in frames)
+        frames = [f"{f}.png" for f in frames]
+        index = 0
+        while index + interval + 1 < len(frames):
+            ins = [frames[index], frames[index + 1 + interval]]
+            gts = [frames[i] for i in range(index, index + 2 + interval)]
+            file_list.append([osp.join(video, f) for f in ins])
+            gt_list.append([osp.join(video, f) for f in gts])
+            index += 1
+    return file_list, gt_list
+
+
+class AdobeDataset:
+    """x8 temporal windows with ONE random GT time per sample
+    (``Adobe_dataset.py:189-196``). Returns crops at fixed x``scale``."""
+
+    def __init__(self, gt_root: str, video_list: Optional[Sequence[str]] = None,
+                 gt_size: int = 192, scale: int = 4, use_flip: bool = True,
+                 use_rot: bool = True, phase: str = "train",
+                 seed: Optional[int] = None):
+        self.gt_root = gt_root
+        self.gt_size, self.scale = gt_size, scale
+        self.use_flip, self.use_rot = use_flip, use_rot
+        self.phase = phase
+        self.rng = random.Random(seed)
+        if video_list is None:
+            video_list = sorted(
+                d for d in os.listdir(gt_root)
+                if osp.isdir(osp.join(gt_root, d))
+            )
+        self.file_list, self.gt_list = _scan_adobe(gt_root, video_list)
+
+    def __len__(self):
+        return len(self.file_list)
+
+    def __getitem__(self, index: int):
+        from stif_tpu.data.transforms import augment_stack
+        from stif_tpu.ops.resize import imresize
+
+        gt_idx = self.rng.randint(0, 8)
+        in_paths = [osp.join(self.gt_root, p) for p in self.file_list[index]]
+        gt_path = osp.join(self.gt_root, self.gt_list[index][gt_idx])
+        imgs_in = [
+            _read_img(p).astype(np.float32) / 255.0 for p in in_paths
+        ]
+        img_gt = _read_img(gt_path).astype(np.float32) / 255.0
+
+        s = self.scale
+        gh, gw = img_gt.shape[:2]
+        g = self.gt_size
+        rh = self.rng.randint(0, max(0, gh - g))
+        rw = self.rng.randint(0, max(0, gw - g))
+        img_gt = img_gt[rh:rh + g, rw:rw + g]
+        crops_in = [im[rh:rh + g, rw:rw + g] for im in imgs_in]
+        lqs = [np.asarray(imresize(c, 1.0 / s)) for c in crops_in]
+        if self.phase == "train":
+            stack = augment_stack(lqs + [img_gt], self.use_flip, self.use_rot,
+                                  self.rng)
+            lqs, img_gt = stack[:-1], stack[-1]
+        lqs = np.stack(lqs)[..., ::-1]
+        gt = img_gt[None][..., ::-1]
+        return {
+            "LQs": np.ascontiguousarray(lqs),
+            "GT": np.ascontiguousarray(gt),
+            "times": np.asarray([gt_idx / 8], np.float32),
+            "key": self.gt_list[index][gt_idx],
+        }
+
+
+class AdobeArbitraryDataset:
+    """Raw windows for arbitrary-scale training: inputs (i, i+8) + 3 random
+    GT times, as uint8 BGR arrays; the batch collate applies the random-scale
+    degradation (``Adobe_arbitrary.py:189-202``)."""
+
+    def __init__(self, gt_root: str, video_list: Optional[Sequence[str]] = None,
+                 seed: Optional[int] = None):
+        self.gt_root = gt_root
+        self.rng = random.Random(seed)
+        if video_list is None:
+            video_list = sorted(
+                d for d in os.listdir(gt_root)
+                if osp.isdir(osp.join(gt_root, d))
+            )
+        self.file_list, self.gt_list = _scan_adobe(gt_root, video_list)
+
+    def __len__(self):
+        return len(self.file_list)
+
+    def __getitem__(self, index: int):
+        sampled = sorted(self.rng.sample(range(len(self.gt_list[index])), 3))
+        in_imgs = [
+            _read_img(osp.join(self.gt_root, p)) for p in self.file_list[index]
+        ]
+        gt_imgs = [
+            _read_img(osp.join(self.gt_root, self.gt_list[index][i]))
+            for i in sampled
+        ]
+        times = np.asarray([i / 8 for i in sampled], np.float32)
+        return {"LQs_raw": in_imgs, "GT_raw": gt_imgs, "times": times}
+
+
+def create_dataset(mode: str, **kwargs):
+    """Dispatch like the reference factory (``data/__init__.py:45-60``)."""
+    if mode == "Vimeo7":
+        return Vimeo7Dataset(**kwargs)
+    if mode == "Adobe":
+        return AdobeDataset(**kwargs)
+    if mode == "Adobe_a":
+        return AdobeArbitraryDataset(**kwargs)
+    raise NotImplementedError(f"Dataset [{mode}] is not recognized.")

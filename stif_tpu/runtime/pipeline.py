@@ -1,0 +1,123 @@
+"""Inference pipeline: padding, shape-bucketed jit caching, sequence windows.
+
+Parity targets: the reference's driver-side plumbing —
+  * pad H, W up to multiples of 4 before the model, crop after
+    (``codes/custom_video_test.py:45-48``);
+  * sliding frame-pair windows over long sequences (``:81-97``) and
+    ``test_index_generation`` window plans (``codes/utils/util.py:273-318``);
+  * the x2 LR degradation (MATLAB bicubic, ``:87-88``).
+
+TPU-specific: XLA compiles per shape, so the pipeline buckets input sizes
+(pad up to the next multiple of ``bucket``) and caches the jitted forward per
+bucket. A long video becomes a stream of identical-shape programs.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int = 4,
+                    bucket: int = 1) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Zero-pad (..., H, W, C) so H, W are multiples of ``multiple`` (and of
+    ``bucket`` for compile reuse). Returns (padded, (H, W) original)."""
+    h, w = x.shape[-3], x.shape[-2]
+    m = max(multiple, bucket)
+    hp = int(m * math.ceil(h / m))
+    wp = int(m * math.ceil(w / m))
+    pad = [(0, 0)] * (x.ndim - 3) + [(0, hp - h), (0, wp - w), (0, 0)]
+    return np.pad(x, pad), (h, w)
+
+
+def window_plan(skip: bool, n_out: int, len_in: int) -> List[List[List[int]]]:
+    """Sliding-window index plans for long sequences — exact port of the
+    reference's ``test_index_generation`` (``codes/utils/util.py:273-318``).
+
+    Returns a list of [input_indices, output_indices] windows; with ``skip``,
+    inputs are every 2nd frame of each ``n_out``-frame output window.
+    """
+    n_in = 1 + n_out // 2
+    assert n_in <= len_in, "input too short for one window"
+    sele_list = []
+    if skip:
+        right = n_out
+        while right <= len_in:
+            h_list = [right - n_out + x for x in range(n_out)]
+            l_list = h_list[::2]
+            right += n_out - 1
+            sele_list.append([l_list, h_list])
+        if right < len_in - 1:
+            h_list = [len_in - n_out + x for x in range(n_out)]
+            sele_list.append([h_list[::2], h_list])
+    else:
+        right = n_out
+        right_in = n_in
+        while right_in <= len_in:
+            h_list = [right - n_out + x for x in range(n_out)]
+            l_list = [right_in - n_in + x for x in range(n_in)]
+            right += n_out - 1
+            right_in += n_in - 1
+            sele_list.append([l_list, h_list])
+        if right_in < len_in - 1:
+            right = len_in * 2 - 1
+            h_list = [right - n_out + x for x in range(n_out)]
+            l_list = [len_in - n_in + x for x in range(n_in)]
+            sele_list.append([l_list, h_list])
+    return sele_list
+
+
+class InferencePipeline:
+    """Shape-bucketed jitted inference over frame pairs / windows."""
+
+    def __init__(self, model, params, scale: int = 4, bucket: int = 16,
+                 device=None, test_mode: bool = False):
+        self.model = model
+        self.scale = scale
+        self.bucket = bucket
+        self.test_mode = test_mode
+        self.device = device or jax.devices()[0]
+        self.params = jax.device_put(params, self.device)
+        self._cache: Dict[Tuple, object] = {}
+
+    def _fwd(self, shape, nt, out_size):
+        key = (shape, nt, out_size)
+        if key not in self._cache:
+            model = self.model
+            test = self.test_mode
+
+            def f(params, x, times):
+                return model.apply(params, x, times, out_size=out_size,
+                                   test=test)
+
+            self._cache[key] = jax.jit(f)
+        return self._cache[key]
+
+    def render_window(self, frames: np.ndarray,
+                      times: Sequence[float]) -> np.ndarray:
+        """frames: (N, H, W, 3) float32 [0,1] RGB LR frames ->
+        (nt, H*scale, W*scale, 3)."""
+        x, (h, w) = pad_to_multiple(frames, 4, self.bucket)
+        x = jnp.asarray(x[None])
+        t = jnp.asarray(np.asarray(times, np.float32))
+        hp, wp = x.shape[2], x.shape[3]
+        out_size = (hp * self.scale, wp * self.scale)
+        fwd = self._fwd(tuple(x.shape), len(times), out_size)
+        out = fwd(self.params, x, t)
+        out = np.asarray(out)[:, 0]
+        return out[:, : h * self.scale, : w * self.scale]
+
+    def render_sequence(self, frames: np.ndarray, n_times: int = 8):
+        """Stream a long sequence (T, H, W, 3) through overlapping frame
+        pairs, ``n_times`` interpolated frames per pair (the
+        ``custom_video_test`` loop). Returns list of (nt, HH, WW, 3)."""
+        outs = []
+        times = [i / n_times for i in range(n_times)]
+        for i in range(frames.shape[0] - 1):
+            outs.append(self.render_window(frames[i : i + 2], times))
+        return outs

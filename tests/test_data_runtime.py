@@ -1,0 +1,146 @@
+"""Data pipeline and inference runtime tests on synthetic folder trees."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stif_tpu.data import (
+    AdobeArbitraryDataset,
+    AdobeDataset,
+    DataLoader,
+    ShardedIterSampler,
+    Vimeo7Dataset,
+    collate_arbitrary_scale,
+    collate_fixed,
+)
+from stif_tpu.runtime import InferencePipeline, pad_to_multiple, window_plan
+
+
+def _write_png(path, arr):
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    cv2.imwrite(path, arr)
+
+
+@pytest.fixture(scope="module")
+def vimeo_root(tmp_path_factory):
+    gt_root = tmp_path_factory.mktemp("vimeo_gt")
+    lq_root = tmp_path_factory.mktemp("vimeo_lq")
+    rng = np.random.default_rng(0)
+    for a in ["00001"]:
+        for b in ["0001", "0002"]:
+            for i in range(1, 8):
+                img = (rng.random((32, 48, 3)) * 255).astype(np.uint8)
+                _write_png(str(gt_root / a / b / f"im{i}.png"), img)
+                _write_png(str(lq_root / a / b / f"im{i}.png"), img[::4, ::4])
+    return str(gt_root), str(lq_root)
+
+
+@pytest.fixture(scope="module")
+def adobe_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("adobe")
+    rng = np.random.default_rng(1)
+    for v in ["vid1"]:
+        for i in range(12):
+            img = (rng.random((160, 200, 3)) * 255).astype(np.uint8)
+            _write_png(str(root / v / f"{i}.png"), img)
+    return str(root)
+
+
+class TestVimeo7:
+    def test_sample_shapes(self, vimeo_root):
+        gt_root, lq_root = vimeo_root
+        ds = Vimeo7Dataset(gt_root, lq_root, n_frames=7, gt_size=16, scale=4,
+                           seed=0)
+        assert len(ds) == 2
+        s = ds[0]
+        assert s["GT"].shape == (7, 16, 16, 3)
+        assert s["LQs"].shape == (4, 4, 4, 3)
+        assert s["times"].shape == (7,)
+        batch = collate_fixed([ds[0], ds[1]])
+        assert batch["GT"].shape == (2, 7, 16, 16, 3)
+        assert batch["times"].shape == (7,)
+
+
+class TestAdobe:
+    def test_fixed_dataset(self, adobe_root):
+        ds = AdobeDataset(adobe_root, gt_size=32, scale=4, seed=0)
+        assert len(ds) == 4  # 12 frames -> windows at index 0..3
+        s = ds[0]
+        assert s["LQs"].shape == (2, 8, 8, 3)
+        assert s["GT"].shape == (1, 32, 32, 3)
+        assert 0.0 <= float(s["times"][0]) <= 1.0
+
+    def test_arbitrary_collate(self, adobe_root):
+        ds = AdobeArbitraryDataset(adobe_root, seed=0)
+        import random as _r
+
+        batch = collate_arbitrary_scale([ds[0], ds[1]], lq_size=32,
+                                        scale_buckets=[2.0, 3.0],
+                                        rng=_r.Random(0))
+        B, N, h, w, C = batch["LQs"].shape
+        assert (B, N, C) == (2, 2, 3)
+        assert batch["GT"].shape[0] == 2 and batch["GT"].shape[1] == 3
+        # LQ spatial size = gt_size/(2d); GT out = gt_size/2 -> ratio d
+        assert batch["GT"].shape[2] // h in (2, 3)
+        assert batch["times"].shape == (2, 3)
+        assert batch["LQs"].max() <= 1.0
+
+
+class TestLoader:
+    def test_sharded_sampler_partitions(self):
+        s0 = ShardedIterSampler(10, ratio=2, world_size=2, rank=0, seed=1)
+        s1 = ShardedIterSampler(10, ratio=2, world_size=2, rank=1, seed=1)
+        i0, i1 = s0.epoch_indices(3), s1.epoch_indices(3)
+        assert len(i0) == len(i1) == 10
+        assert (i0 < 10).all() and (i1 < 10).all()
+        # different epochs give different orders
+        assert not np.array_equal(i0, s0.epoch_indices(4))
+
+    def test_loader_iterates(self, vimeo_root):
+        gt_root, lq_root = vimeo_root
+        ds = Vimeo7Dataset(gt_root, lq_root, n_frames=7, gt_size=16, scale=4,
+                           seed=0)
+        dl = DataLoader(ds, batch_size=2, collate=collate_fixed,
+                        num_workers=1, drop_last=True)
+        batches = list(dl.epoch(0))
+        assert len(batches) == 1
+        assert batches[0]["LQs"].shape[0] == 2
+
+
+class TestRuntime:
+    def test_pad_to_multiple(self):
+        x = np.zeros((2, 15, 17, 3))
+        p, (h, w) = pad_to_multiple(x, 4)
+        assert p.shape == (2, 16, 20, 3) and (h, w) == (15, 17)
+
+    def test_window_plan_reference_examples(self):
+        # docstring examples of test_index_generation (utils/util.py:280-284)
+        assert window_plan(False, 3, 5) == [
+            [[0, 1], [0, 1, 2]], [[1, 2], [2, 3, 4]],
+            [[2, 3], [4, 5, 6]], [[3, 4], [6, 7, 8]],
+        ]
+        assert window_plan(True, 3, 5) == [[[0, 2], [0, 1, 2]], [[2, 4], [2, 3, 4]]]
+
+    def test_pipeline_render(self):
+        from stif_tpu.models import LunaTokis
+
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        rng = np.random.default_rng(0)
+        x = jnp.zeros((1, 2, 16, 16, 3))
+        times = jnp.asarray([0.0, 0.5])
+        params = model.init(jax.random.PRNGKey(0), x, times,
+                            method=model.full_init)
+        pipe = InferencePipeline(model, params, scale=4, bucket=8)
+        frames = rng.random((3, 10, 14, 3)).astype(np.float32)
+        out = pipe.render_window(frames[:2], [0.0, 0.5])
+        assert out.shape == (2, 40, 56, 3)
+        outs = pipe.render_sequence(frames, n_times=2)
+        assert len(outs) == 2 and outs[0].shape == (2, 40, 56, 3)
+        # shape bucketing: same padded bucket reuses the compiled program
+        assert len(pipe._cache) == 1
