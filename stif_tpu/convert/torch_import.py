@@ -12,9 +12,15 @@ Layout transforms:
 
 from __future__ import annotations
 
+import re
 from typing import Dict, Tuple
 
 import numpy as np
+
+# flax module names that mirror torch nn.Sequential containers
+_SEQ_RE = re.compile(
+    r"^(t_process|f_process|layersAtBOffset|layersCtBOffset|layersFusion)_\d+$"
+)
 
 # number of net entries per imnet: (sine layers, has final plain linear)
 _IMNET_LAYERS = {"feat_imnet": 4, "flow_imnet": 4, "encode_imnet": 5}
@@ -58,6 +64,10 @@ def _flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
                 out += [str(li), "linear"]
             i += 1
             kind = "linear"
+        elif _SEQ_RE.match(m):
+            # flax `t_process_0` etc. mirror torch nn.Sequential indices
+            base, idx = m.rsplit("_", 1)
+            out += [base, idx]
         else:
             out.append(m)
         i += 1

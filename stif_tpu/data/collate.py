@@ -69,8 +69,19 @@ def collate_arbitrary_scale(samples, lq_size: int = 64,
         np.stack([crop(im) for im in s["GT_raw"]]) for s in samples
     ])  # (B, 3, g, g, 3)
 
-    lqs = np.array(imresize(lq_crops.astype(np.float32), 1.0 / (2 * d)))
-    gts = np.array(imresize(gt_crops.astype(np.float32), 0.5))
+    from stif_tpu.data import native
+
+    if native.available():
+        def resize_stack(crops, scale):
+            flat = crops.reshape((-1,) + crops.shape[2:]).astype(np.float32)
+            outs = [native.imresize_native(f, scale) for f in flat]
+            return np.stack(outs).reshape(crops.shape[:2] + outs[0].shape)
+
+        lqs = resize_stack(lq_crops, 1.0 / (2 * d))
+        gts = resize_stack(gt_crops, 0.5)
+    else:
+        lqs = np.array(imresize(lq_crops.astype(np.float32), 1.0 / (2 * d)))
+        gts = np.array(imresize(gt_crops.astype(np.float32), 0.5))
     lqs /= 255.0
     gts /= 255.0
 

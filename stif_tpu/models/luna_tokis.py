@@ -62,6 +62,7 @@ class LunaTokis(nn.Module):
     groups: int = 8
     front_RBs: int = 5
     back_RBs: int = 40
+    use_pallas: bool = False  # fused SIREN decoder kernels (TPU only)
 
     def setup(self):
         nf = self.nf
@@ -81,9 +82,13 @@ class LunaTokis(nn.Module):
         self.HRconv = Conv(64, 3, 1, 1)
         self.conv_last = Conv(3, 3, 1, 1)
         # continuous decoder (SIREN imnets; dims from reference :306-311)
-        self.feat_imnet = Siren([64, 64, 256], 2, 64, outermost_linear=True)
-        self.flow_imnet = Siren([64, 64, 256], 2, 4, outermost_linear=True)
-        self.encode_imnet = Siren([64, 64, 256, 256], 3, 3, outermost_linear=True)
+        up = self.use_pallas
+        self.feat_imnet = Siren([64, 64, 256], 2, 64, outermost_linear=True,
+                                use_pallas=up)
+        self.flow_imnet = Siren([64, 64, 256], 2, 4, outermost_linear=True,
+                                use_pallas=up)
+        self.encode_imnet = Siren([64, 64, 256, 256], 3, 3,
+                                  outermost_linear=True, use_pallas=up)
 
     # ---------------------------------------------------------------- encoder
 

@@ -22,30 +22,43 @@ from stif_tpu.nn.init import siren_first, siren_hidden, torch_default_bias_for
 
 class SirenDense(nn.Module):
     features: int
+    in_features: int
     is_first: bool = False
     omega0: float = 30.0
     final_linear: bool = False  # plain linear output (no sine)
 
-    @nn.compact
-    def __call__(self, x):
-        cin = x.shape[-1]
+    def setup(self):
         if self.is_first:
             kinit = siren_first
         else:
             kinit = siren_hidden(self.omega0)
-        kernel = self.param("kernel", kinit, (cin, self.features))
+        self.kernel = self.param("kernel", kinit,
+                                 (self.in_features, self.features))
         # torch nn.Linear default bias: U(+-1/sqrt(fan_in)) — SIREN's init
         # only overrides the weight (SIREN.py:35-43).
-        bias = self.param("bias", torch_default_bias_for(cin), (self.features,))
-        y = jnp.dot(x, kernel.astype(x.dtype),
-                    preferred_element_type=jnp.float32) + bias
+        self.bias = self.param("bias", torch_default_bias_for(self.in_features),
+                               (self.features,))
+
+    def weights(self):
+        """(kernel, bias) — used by the fused Pallas path."""
+        return self.kernel, self.bias
+
+    def __call__(self, x):
+        y = jnp.dot(x, self.kernel.astype(x.dtype),
+                    preferred_element_type=jnp.float32) + self.bias
         if self.final_linear:
             return y.astype(x.dtype)
         return jnp.sin(self.omega0 * y).astype(x.dtype)
 
 
 class Siren(nn.Module):
-    """net = [Sine(first), Sine x hidden_layers, Linear|Sine]."""
+    """net = [Sine(first), Sine x hidden_layers, Linear|Sine].
+
+    With ``use_pallas`` the whole chain runs as one fused Pallas kernel
+    (``stif_tpu.ops.siren_pallas``): query tiles stay in VMEM through every
+    layer. Requires ``outermost_linear`` (the only form the models use) and a
+    TPU backend.
+    """
 
     hidden_features: Sequence[int]
     hidden_layers: int
@@ -53,15 +66,36 @@ class Siren(nn.Module):
     outermost_linear: bool = True
     first_omega0: float = 30.0
     hidden_omega0: float = 30.0
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = SirenDense(self.hidden_features[0], is_first=True,
-                       omega0=self.first_omega0, name="layer0")(x)
+        cin = x.shape[-1]
+        dims = ([cin] + list(self.hidden_features[: self.hidden_layers + 1])
+                + [self.out_features])
+        layers = [
+            SirenDense(dims[1], dims[0], is_first=True,
+                       omega0=self.first_omega0, name="layer0")
+        ]
         for i in range(self.hidden_layers):
-            x = SirenDense(self.hidden_features[i + 1],
-                           omega0=self.hidden_omega0, name=f"layer{i + 1}")(x)
-        x = SirenDense(self.out_features, omega0=self.hidden_omega0,
+            layers.append(
+                SirenDense(dims[i + 2], dims[i + 1],
+                           omega0=self.hidden_omega0, name=f"layer{i + 1}")
+            )
+        layers.append(
+            SirenDense(dims[-1], dims[-2], omega0=self.hidden_omega0,
                        final_linear=self.outermost_linear,
-                       name=f"layer{self.hidden_layers + 1}")(x)
+                       name=f"layer{self.hidden_layers + 1}")
+        )
+
+        if self.use_pallas and self.outermost_linear:
+            from stif_tpu.ops.siren_pallas import siren_apply_fused
+
+            ws, bs = zip(*[layer.weights() for layer in layers])
+            assert self.first_omega0 == self.hidden_omega0
+            return siren_apply_fused(x, list(ws), list(bs),
+                                     omega0=self.hidden_omega0)
+
+        for layer in layers:
+            x = layer(x)
         return x

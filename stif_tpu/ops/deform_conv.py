@@ -58,6 +58,51 @@ def split_offset_mask(conv_out, deformable_groups: int, kernel_size: IntPair = 3
     return offset, mask
 
 
+def _dcn_patch_gather(x, py, px, mask, weight, bias, G):
+    """Patch-gather DCN core: one fused (2, 2, CpG) gather per (query, group,
+    tap) instead of four corner gathers — the per-index-bound TPU gather does
+    ~2.4x better on big contiguous slices (see ops/gather_utils.py).
+
+    x: (B, H, W, Cin); py, px: (B, Q, G, K) float positions;
+    mask: (B, Q, G, K); weight: (kh, kw, Cin, Cout).
+    """
+    from stif_tpu.ops.gather_utils import patch_weights
+
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    CpG = Cin // G
+    Q = py.shape[1]
+    f32 = jnp.float32
+
+    sy, sx, w = patch_weights(py, px, H, W, "zeros")  # (B,Q,G,K[,2,2])
+    xg = x.astype(f32).reshape(B, H, W, G, CpG)
+    # one gather per (q, g, k): start = (y, x, g), slice (1, 2, 2, 1, CpG)
+    starts = jnp.stack(
+        [sy.reshape(B, -1), sx.reshape(B, -1),
+         jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None, None, :, None],
+                          sy.shape).reshape(B, -1)],
+        axis=-1,
+    )  # (B, Q*G*K, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4, 5),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2, 3),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patches = jax.lax.gather(xg, starts, dn,
+                             slice_sizes=(1, 2, 2, 1, CpG), mode="clip")
+    patches = patches.reshape(B, Q, G, K, 2, 2, CpG)
+    wm = (w * mask.astype(f32)[..., None, None]).astype(f32)
+    col = jnp.einsum("bqgkijc,bqgkij->bqkgc", patches, wm)
+    wr = weight.astype(f32).reshape(K, G, CpG, Cout)
+    out = jnp.einsum("bqkgc,kgco->bqo", col, wr, preferred_element_type=f32)
+    if bias is not None:
+        out = out + bias.astype(f32)
+    return out
+
+
 def deform_conv2d(
     x,
     offset,
@@ -67,6 +112,7 @@ def deform_conv2d(
     stride: IntPair = 1,
     padding: IntPair = 1,
     dilation: IntPair = 1,
+    impl: str = "auto",
 ):
     """Modulated deformable conv, channels-last.
 
@@ -101,6 +147,11 @@ def deform_conv2d(
     base_x = jnp.broadcast_to(xs + tj[None, None], (Ho, Wo, K)).reshape(1, Q, 1, K)
     py = base_y + off[..., 0]  # (B, Q, G, K)
     px = base_x + off[..., 1]
+
+    if impl in ("auto", "patch"):
+        m = mask.astype(f32).reshape(B, Q, G, K)
+        out = _dcn_patch_gather(x, py, px, m, weight, bias, G)
+        return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
 
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)

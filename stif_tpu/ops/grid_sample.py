@@ -33,10 +33,14 @@ def _gather_hw(x_flat, idx):
 
 
 def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
-                align_corners: bool = False):
+                align_corners: bool = False, impl: str = "auto"):
     """Sample ``x`` (B, H, W, C) at ``grid`` (B, Hg, Wg, 2) or (B, Q, 2).
 
     Returns (B, Hg, Wg, C) (or (B, Q, C) for a flat grid).
+
+    ``impl``: 'corners' = four corner-row gathers; 'patch' = one fused 2x2xC
+    patch gather per query (~2.4x faster on TPU, identical fp32 math);
+    'auto' = patch for bilinear, corners otherwise.
     """
     if mode not in ("bilinear", "nearest"):
         raise ValueError(f"unsupported mode: {mode}")
@@ -60,6 +64,15 @@ def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
         iy = jnp.clip(iy, 0.0, H - 1)
 
     x_flat = x.reshape(B, H * W, C)
+
+    if mode == "bilinear" and impl in ("auto", "patch"):
+        from stif_tpu.ops.gather_utils import bilinear_gather
+
+        out = bilinear_gather(x.astype(jnp.float32), iy, ix, padding_mode)
+        out = out.reshape(B, Hg, Wg, C).astype(x.dtype)
+        if flat_grid:
+            out = out[:, :, 0, :]
+        return out
 
     if mode == "nearest":
         # torch rounds with nearbyint (round-half-to-even), same as jnp.round.

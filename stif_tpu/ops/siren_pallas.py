@@ -1,0 +1,108 @@
+"""Fused SIREN-MLP Pallas kernel for the coordinate decoder.
+
+Why: the decoder evaluates three SIREN MLPs over millions of (x, y, t)
+queries per frame. The XLA lowering materializes the concatenated input
+(e.g. 525 channels for the encode net — multi-GB at production sizes) and
+every hidden activation in HBM, so the op chain is HBM-bandwidth-bound.
+This kernel tiles the query axis: each grid step loads a tile of the
+(pre-concatenated) input, runs the whole matmul+sin chain in VMEM on the MXU,
+and writes only the final (tile, out_features) block — hidden activations
+never touch HBM.
+
+Semantics parity: ``stif_tpu.nn.siren.Siren`` (reference
+``codes/models/modules/SIREN.py``): y_i = sin(30 * (x W_i + b_i)) for all but
+the final plain linear layer. fp32 accumulation on the MXU.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _siren_kernel(x_ref, *refs, n_layers: int, omega0: float):
+    """refs: [w0, b0, w1, b1, ..., out_ref]."""
+    out_ref = refs[-1]
+    h = x_ref[:]
+    for i in range(n_layers):
+        w = refs[2 * i][:]
+        b = refs[2 * i + 1][:]
+        h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        if i < n_layers - 1:
+            h = jnp.sin(omega0 * h)
+    out_ref[:] = h.astype(out_ref.dtype)
+
+
+def siren_apply_fused(x, weights: Sequence, biases: Sequence,
+                      omega0: float = 30.0, tile_q: int = 1024,
+                      interpret: bool = False):
+    """Fused SIREN forward.
+
+    x: (..., Q, Cin) — flattened internally over leading dims;
+    weights[i]: (Cin_i, Cout_i); biases[i]: (Cout_i,).
+    The last layer is plain linear (no sine), matching
+    ``Siren(outermost_linear=True)``.
+    """
+    n_layers = len(weights)
+    orig_shape = x.shape
+    cin = x.shape[-1]
+    cout = weights[-1].shape[1]
+    q = 1
+    for d in orig_shape[:-1]:
+        q *= d
+    x2 = x.reshape(q, cin)
+
+    # Pad Q to a tile multiple and the final output dim to a lane multiple.
+    qp = _round_up(max(q, 1), tile_q)
+    if qp != q:
+        x2 = jnp.pad(x2, ((0, qp - q), (0, 0)))
+    cout_p = _round_up(cout, 128)
+    wl = list(weights)
+    bl = list(biases)
+    if cout_p != cout:
+        wl[-1] = jnp.pad(wl[-1], ((0, 0), (0, cout_p - cout)))
+        bl[-1] = jnp.pad(bl[-1], ((0, cout_p - cout),))
+
+    params = []
+    in_specs = [
+        pl.BlockSpec((tile_q, cin), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    for w, b in zip(wl, bl):
+        params += [w.astype(jnp.float32), b.reshape(1, -1).astype(jnp.float32)]
+        in_specs += [
+            pl.BlockSpec(w.shape, lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b.shape[0]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+
+    kernel = functools.partial(_siren_kernel, n_layers=n_layers,
+                               omega0=omega0)
+    out = pl.pallas_call(
+        kernel,
+        grid=(qp // tile_q,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_q, cout_p), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((qp, cout_p), x.dtype),
+        interpret=interpret,
+    )(x2, *params)
+    return out[:q, :cout].reshape(orig_shape[:-1] + (cout,))
+
+
+def siren_params_from_flax(siren_variables):
+    """Extract ordered (weights, biases) lists from a flax Siren param
+    sub-tree ({'layer0': {'kernel', 'bias'}, ...})."""
+    layers = sorted(siren_variables, key=lambda k: int(k[len("layer"):]))
+    ws = [siren_variables[l]["kernel"] for l in layers]
+    bs = [siren_variables[l]["bias"] for l in layers]
+    return ws, bs

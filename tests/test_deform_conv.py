@@ -68,8 +68,9 @@ def torch_dcn_naive(x, offset, mask, weight, bias, stride, padding, dilation, G)
     return out
 
 
+@pytest.mark.parametrize("impl", ["corners", "patch"])
 @pytest.mark.parametrize("stride,padding,dilation", [(1, 1, 1), (2, 1, 1)])
-def test_matches_naive_oracle(rng, stride, padding, dilation):
+def test_matches_naive_oracle(rng, stride, padding, dilation, impl):
     B, Cin, H, W, Cout, G, k = 2, 4, 6, 7, 5, 2, 3
     K = k * k
     Ho = (H + 2 * padding - (dilation * (k - 1) + 1)) // stride + 1
@@ -92,7 +93,7 @@ def test_matches_naive_oracle(rng, stride, padding, dilation):
         jnp.asarray(mask.transpose(0, 3, 4, 1, 2)),       # B,Ho,Wo,G,K
         jnp.asarray(weight.transpose(2, 3, 1, 0)),        # kh,kw,Cin,Cout
         jnp.asarray(bias),
-        stride=stride, padding=padding, dilation=dilation,
+        stride=stride, padding=padding, dilation=dilation, impl=impl,
     )
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=1e-4)

@@ -58,7 +58,8 @@ class TestGridSample:
     @pytest.mark.parametrize("mode", ["bilinear", "nearest"])
     @pytest.mark.parametrize("padding", ["zeros", "border"])
     @pytest.mark.parametrize("align", [False, True])
-    def test_matches_torch(self, rng, mode, padding, align):
+    @pytest.mark.parametrize("impl", ["corners", "patch"])
+    def test_matches_torch(self, rng, mode, padding, align, impl):
         B, C, H, W = 2, 5, 9, 13
         Hg, Wg = 7, 11
         x = rng.standard_normal((B, C, H, W)).astype(np.float32)
@@ -72,7 +73,7 @@ class TestGridSample:
 
         got = grid_sample(
             jnp.asarray(x.transpose(0, 2, 3, 1)), jnp.asarray(grid),
-            mode=mode, padding_mode=padding, align_corners=align,
+            mode=mode, padding_mode=padding, align_corners=align, impl=impl,
         )
         got = np.asarray(got).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, atol=2e-6)

@@ -1,0 +1,35 @@
+"""Fused SIREN Pallas kernel vs the flax module (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stif_tpu.nn.siren import Siren
+from stif_tpu.ops.siren_pallas import siren_apply_fused, siren_params_from_flax
+
+
+@pytest.mark.parametrize("q,cin", [(100, 201), (1024, 525), (7, 63)])
+def test_matches_flax_siren(rng, q, cin):
+    model = Siren([64, 64, 256], 2, 4, outermost_linear=True)
+    x = jnp.asarray(rng.standard_normal((q, cin)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+
+    ws, bs = siren_params_from_flax(params["params"])
+    got = np.asarray(
+        siren_apply_fused(x, ws, bs, tile_q=256, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_batched_leading_dims(rng):
+    model = Siren([64, 64, 256, 256], 3, 3, outermost_linear=True)
+    x = jnp.asarray(rng.standard_normal((2, 3, 50, 40)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(1), x)
+    want = np.asarray(model.apply(params, x))
+    ws, bs = siren_params_from_flax(params["params"])
+    got = np.asarray(siren_apply_fused(x, ws, bs, tile_q=128, interpret=True))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-5)
