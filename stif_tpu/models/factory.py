@@ -1,0 +1,35 @@
+"""Network factory (reference ``codes/models/networks.py:8-26`` define_G).
+
+Note the reference maps 'LIIF' -> the *test-variant* LunaTokis and
+'LunaTokis' -> the fixed-x4 original (and, as shipped, NameErrors on both —
+it imports neither module; fixed here)."""
+
+from __future__ import annotations
+
+
+def define_g(opt: dict):
+    from stif_tpu.models import LunaTokis, TMNet
+    from stif_tpu.models.luna_tokis_variants import (
+        LunaTokisNoFlow,
+        LunaTokisTrain,
+        LunaTokisZSM,
+    )
+
+    net = opt["network_G"]
+    which = net["which_model_G"]
+    kwargs = dict(
+        nf=net.get("nf", 64), nframes=net.get("nframes", 6),
+        groups=net.get("groups", 8), front_RBs=net.get("front_RBs", 5),
+        back_RBs=net.get("back_RBs", 40),
+    )
+    if which == "LIIF":
+        return LunaTokis(**kwargs)
+    if which == "LIIF_train":
+        return LunaTokisTrain(**kwargs)
+    if which == "LIIF_noflow":
+        return LunaTokisNoFlow(**kwargs)
+    if which == "LunaTokis":
+        return LunaTokisZSM(**kwargs)
+    if which == "TMNet":
+        return TMNet(**kwargs)
+    raise NotImplementedError(f"Generator model [{which}] not recognized")

@@ -125,36 +125,24 @@ class LunaTokis(nn.Module):
 
     # ---------------------------------------------------------------- decoder
 
-    def decode(
-        self,
-        feat_t,                      # (B, T, H, W, nf) from gen_feat
-        inp,                         # (B, N, H, W, 3) model input
-        times,                       # (nt,) query times in [0, 1]
-        out_size: Tuple[int, int] = None,   # (HH, WW); default (4H, 4W)
-        hr_inp_upsample: bool = False,      # decoding_test upsamples inp x4
-        query_chunks: int = 1,
-        time_batched: bool = False,
-    ):
-        """Continuous decode at query times. Returns (nt, B, HH, WW, 3).
+    def _decode_pass(self, feat, inp_cat, hr_inp, coord_q, coord_ref, times,
+                     HH: int, WW: int):
+        """One decode pass over a regular (HH, WW) query window.
 
-        ``hr_inp_upsample=False`` reproduces ``decoding`` (reference
-        ``:364-459``, the ``custom_video_test`` path); ``True`` reproduces
-        ``decoding_test``'s bilinear x4 HR input (``:513-514``).
+        ``coord_q``:   (B, Q, 2) (y, x) gather coordinates (possibly shifted —
+                       local ensemble — and clamped);
+        ``coord_ref``: (B, Q, 2) unshifted query coordinates (rel-coord
+                       reference).
+        Returns (rgb (nt, B, HH, WW, 3), area (B, Q)).
+
+        The query-time axis folds into the batch axis: every stage runs once
+        for all (time, batch) pairs — one traced program, and the MLP matmuls
+        see an nt-times-larger M dimension on the MXU (the TPU analogue of the
+        reference's ``decoding_fasttest`` time-as-batch trick,
+        ``Sakuya_arch_test.py:863-960``).
         """
-        T = feat_t.shape[1]
-        feat = feat_t.transpose(0, 2, 3, 1, 4)
         B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
-        feat = feat.reshape(B, H, W, -1)  # concat along channels (:365)
-        N = inp.shape[1]
-        inp_cat = inp.transpose(0, 2, 3, 1, 4).reshape(B, H, W, N * 3)
-
-        if out_size is None:
-            out_size = (H * 4, W * 4)
-        HH, WW = out_size
-
-        coord = jnp.clip(make_coord((HH, WW)), -1 + _EPS, 1 - _EPS)  # (Q, 2) (y,x)
-        coord = jnp.broadcast_to(coord[None], (B,) + coord.shape)
-        coord_xy = coord[..., ::-1]  # grid_sample wants (x, y)
+        coord_xy = coord_q[..., ::-1]  # grid_sample wants (x, y)
         feat_coord = jnp.broadcast_to(
             make_coord((H, W), flatten=False)[None], (B, H, W, 2)
         )
@@ -163,25 +151,15 @@ class LunaTokis(nn.Module):
         q_feat_a = grid_sample(feat, coord_xy, mode="nearest")
         q_inp_a = grid_sample(inp_cat, coord_xy, mode="nearest")
         q_coord = grid_sample(feat_coord, coord_xy, mode="nearest")
-        rel = coord - q_coord
+        rel = coord_ref - q_coord
         rel = rel * jnp.asarray([H, W], dtype=rel.dtype)
+        area = jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9
         base_a = jnp.concatenate([q_feat_a, q_inp_a, rel], axis=-1)  # (B,Q,200)
-
-        if hr_inp_upsample:
-            hr_inp = resize_bilinear(inp_cat, scale_factor=4,
-                                     align_corners=False)
-        else:
-            hr_inp = inp_cat
 
         # stage-B gathers of time-independent fields
         q_inp_b = grid_sample(hr_inp, coord_xy, mode="bilinear")
         q_feat0_b = grid_sample(feat, coord_xy, mode="bilinear")
 
-        # Fold the query-time axis into the batch axis: every stage below runs
-        # once for all (time, batch) pairs — one traced program, and the MLP
-        # matmuls see an nt-times-larger M dimension on the MXU (the TPU
-        # analogue of the reference's ``decoding_fasttest`` time-as-batch
-        # trick, ``Sakuya_arch_test.py:863-960``).
         times = jnp.asarray(times, dtype=base_a.dtype).reshape(-1)
         nt = times.shape[0]
         Q = HH * WW
@@ -228,7 +206,94 @@ class LunaTokis(nn.Module):
                 axis=-1,
             )
         )
-        return rgb.reshape(nt, B, HH, WW, 3)
+        return rgb.reshape(nt, B, HH, WW, 3), area
+
+    def _decode_prep(self, feat_t, inp, hr_inp_upsample: bool):
+        feat = feat_t.transpose(0, 2, 3, 1, 4)
+        B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
+        feat = feat.reshape(B, H, W, -1)  # concat along channels (:365)
+        N = inp.shape[1]
+        inp_cat = inp.transpose(0, 2, 3, 1, 4).reshape(B, H, W, N * 3)
+        if hr_inp_upsample:
+            hr_inp = resize_bilinear(inp_cat, scale_factor=4,
+                                     align_corners=False)
+        else:
+            hr_inp = inp_cat
+        return feat, inp_cat, hr_inp
+
+    def decode(
+        self,
+        feat_t,                      # (B, T, H, W, nf) from gen_feat
+        inp,                         # (B, N, H, W, 3) model input
+        times,                       # (nt,) query times in [0, 1]
+        out_size: Tuple[int, int] = None,   # (HH, WW); default (4H, 4W)
+        hr_inp_upsample: bool = False,      # decoding_test upsamples inp x4
+        local_ensemble: bool = False,       # decoding_localensemble (:962-1085)
+        coords=None,                 # optional explicit (Q, 2) query window
+        query_chunks: int = 1,
+        time_batched: bool = False,
+    ):
+        """Continuous decode at query times. Returns (nt, B, HH, WW, 3).
+
+        ``hr_inp_upsample=False`` reproduces ``decoding`` (reference
+        ``:364-459``, the ``custom_video_test`` path); ``True`` reproduces
+        ``decoding_test``'s bilinear x4 HR input (``:513-514``).
+        ``local_ensemble`` blends 4 (+-rx, +-ry)-shifted passes with
+        area weights and the LIIF diagonal swap. ``coords`` allows arbitrary
+        regular query windows (the zoom demo, ``decoding_memory``).
+        """
+        feat, inp_cat, hr_inp = self._decode_prep(feat_t, inp, hr_inp_upsample)
+        B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
+
+        if coords is None:
+            if out_size is None:
+                out_size = (H * 4, W * 4)
+            HH, WW = out_size
+            coord = jnp.clip(make_coord((HH, WW)), -1 + _EPS, 1 - _EPS)
+        else:
+            HH, WW = out_size
+            coord = coords
+        coord = jnp.broadcast_to(coord[None], (B,) + coord.shape)
+
+        if not local_ensemble:
+            rgb, _ = self._decode_pass(feat, inp_cat, hr_inp, coord, coord,
+                                       times, HH, WW)
+            return rgb
+
+        rx = 2.0 / H / 2.0
+        ry = 2.0 / W / 2.0
+        preds, areas = [], []
+        for vx in (-1, 1):
+            for vy in (-1, 1):
+                shift = jnp.asarray([vx * rx + _EPS, vy * ry + _EPS],
+                                    coord.dtype)
+                coord_s = jnp.clip(coord + shift, -1 + _EPS, 1 - _EPS)
+                rgb, area = self._decode_pass(feat, inp_cat, hr_inp, coord_s,
+                                              coord, times, HH, WW)
+                preds.append(rgb)
+                areas.append(area)
+        tot = sum(areas)
+        # LIIF diagonal area swap (:1080-1081)
+        areas = [areas[3], areas[2], areas[1], areas[0]]
+        nt = preds[0].shape[0]
+        out = 0.0
+        for p, a in zip(preds, areas):
+            w = (a / tot).reshape(1, B, HH, WW, 1)
+            out = out + p * w
+        return out
+
+    def decode_zoom(self, feat_t, inp, times, out_size, window, center,
+                    hr_inp_upsample: bool = False):
+        """Interactive zoom (reference ``decoding_memory``, ``:600-861``,
+        minus its hardcoded output paths): render only a ``window``-shaped
+        crop of the virtual (HH, WW) canvas centered at normalized ``center``.
+        Returns (nt, B, window[0], window[1], 3)."""
+        from stif_tpu.ops.coords import make_coord_demo
+
+        coords = jnp.clip(make_coord_demo(out_size, window, center),
+                          -1 + _EPS, 1 - _EPS)
+        return self.decode(feat_t, inp, times, out_size=window,
+                           hr_inp_upsample=hr_inp_upsample, coords=coords)
 
     def decode_pixelshuffle(self, feat_t):
         """Legacy ZSM fixed-x4 head over every time step

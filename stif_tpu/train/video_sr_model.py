@@ -1,0 +1,160 @@
+"""High-level training facade.
+
+Parity target: ``VideoSRBaseModel`` / ``BaseModel``
+(``codes/models/VideoSR_base_model.py``, ``codes/models/base_model.py``) and
+the ``create_model(opt)`` factory (``codes/models/__init__.py:5-13``):
+feed_data / optimize_parameters / test / get_current_log / save / load /
+resume_training, driven by the same YAML option schema.
+
+TPU-native: no DataParallel/DDP wrapper — the jitted train step is sharded
+over the device mesh; checkpoints via orbax; the LR schedule is a pure
+function of the step (exact resume for free).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from stif_tpu.models.factory import define_g
+from stif_tpu.parallel import default_mesh
+from stif_tpu.train.checkpoints import CheckpointManager
+from stif_tpu.train.trainer import (
+    TrainConfig,
+    create_train_state,
+    make_parallel_train_step,
+    make_train_step,
+)
+
+
+def create_model(opt: dict):
+    """Reference model factory: only registered model is 'VideoSR_base'."""
+    which = opt.get("model", "VideoSR_base")
+    if which != "VideoSR_base":
+        raise NotImplementedError(f"Model [{which}] not recognized.")
+    return VideoSRModel(opt)
+
+
+class VideoSRModel:
+    def __init__(self, opt: dict, parallel: bool = False):
+        self.opt = opt
+        self.is_train = bool(opt.get("is_train", True))
+        self.net = define_g(opt)
+        tr = opt.get("train") or {}
+        self.cfg = TrainConfig(
+            lr=float(tr.get("lr_G", 2e-5)),
+            beta1=float(tr.get("beta1", 0.9)),
+            beta2=float(tr.get("beta2", 0.99)),
+            niter=int(tr.get("niter", 600_000)),
+            warmup_iter=int(tr.get("warmup_iter", -1) or -1),
+            T_period=tuple(tr.get("T_period", (150_000,) * 4)),
+            restarts=tuple(tr.get("restarts", (150_000, 300_000, 450_000))),
+            restart_weights=tuple(tr.get("restart_weights", (1.0,) * 3)),
+            eta_min=float(tr.get("eta_min", 1e-7)),
+            pixel_criterion=tr.get("pixel_criterion", "cb"),
+            pixel_weight=float(tr.get("pixel_weight", 1.0)),
+        )
+        self.state = None
+        self.tx = None
+        self._step_fn = None
+        self._test_fn = None
+        self.parallel = parallel
+        self.log = {}
+        models_dir = (opt.get("path") or {}).get("models")
+        self.ckpt = CheckpointManager(models_dir) if models_dir else None
+        self._batch = None
+
+    # ---------------------------------------------------------------- setup
+
+    def init_params(self, example_lqs, example_times, seed: int = 0):
+        x = jnp.asarray(example_lqs)
+        t = jnp.asarray(example_times)
+        if hasattr(self.net, "full_init"):
+            params = self.net.init(jax.random.PRNGKey(seed), x, t,
+                                   method=self.net.full_init)
+        else:
+            params = self.net.init(jax.random.PRNGKey(seed), x, t)
+        self.state, self.tx = create_train_state(params, self.cfg)
+        if self.parallel:
+            mesh = default_mesh()
+            self._step_fn = make_parallel_train_step(self.net, self.tx,
+                                                     self.cfg, mesh)
+        else:
+            self._step_fn = jax.jit(make_train_step(self.net, self.tx,
+                                                    self.cfg))
+        return self.state
+
+    # ------------------------------------------------------------- training
+
+    def feed_data(self, data: dict):
+        """data: {'LQs': (B,N,h,w,3), 'GT': (B,nt,H,W,3), 'times': (nt,)}
+        (NHWC; the reference's NCHW batches convert via ``from_torch_batch``).
+        """
+        self._batch = {
+            "lqs": jnp.asarray(data["LQs"]),
+            "gt": jnp.asarray(data["GT"]),
+            "times": jnp.asarray(data["times"]).reshape(-1),
+        }
+
+    def optimize_parameters(self, step: Optional[int] = None):
+        assert self.state is not None, "call init_params first"
+        self.state, metrics = self._step_fn(self.state, self._batch)
+        self.log = {k: float(v) for k, v in metrics.items()}
+        return self.log
+
+    def get_current_log(self):
+        return self.log
+
+    # ------------------------------------------------------------ inference
+
+    def test(self, test_mode: bool = False, out_size=None):
+        if self._test_fn is None:
+            net = self.net
+
+            def f(params, x, t):
+                return net.apply(params, x, t, out_size=out_size,
+                                 test=test_mode)
+
+            self._test_fn = jax.jit(f)
+        return self._test_fn(self.state.params, self._batch["lqs"],
+                             self._batch["times"])
+
+    # ----------------------------------------------------- checkpoint/resume
+
+    def save(self, step: Optional[int] = None):
+        assert self.ckpt is not None
+        return self.ckpt.save(self.state)
+
+    def save_network(self, step: int):
+        assert self.ckpt is not None
+        return self.ckpt.save_params_only(self.state.params, step)
+
+    def resume_training(self, step: Optional[int] = None):
+        assert self.ckpt is not None and self.state is not None
+        self.state = self.ckpt.restore(self.state, step)
+        return int(self.state.step)
+
+    def load_pth(self, path: str):
+        """Import a reference ``.pth`` checkpoint (strict)."""
+        from stif_tpu.convert import load_pth_checkpoint
+
+        params = load_pth_checkpoint(path, self.state.params)
+        self.state = self.state.replace(params=params)
+
+
+def from_torch_batch(batch: dict) -> dict:
+    """Convert a reference-style NCHW batch dict ({'LQs': (B,N,3,h,w), 'GT':
+    (B,nt,3,H,W), 'time': [...]}) to this trainer's NHWC layout."""
+    out = {
+        "LQs": np.transpose(np.asarray(batch["LQs"]), (0, 1, 3, 4, 2)),
+        "GT": np.transpose(np.asarray(batch["GT"]), (0, 1, 3, 4, 2)),
+    }
+    t = batch.get("time", batch.get("times"))
+    t = np.asarray(t)
+    out["times"] = t.reshape(-1) if t.ndim <= 1 else t[0].reshape(-1)
+    return out

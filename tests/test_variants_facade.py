@@ -1,0 +1,135 @@
+"""Model variants, factory dispatch, and the VideoSR training facade."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stif_tpu.models import LunaTokis, TMNet
+from stif_tpu.models.factory import define_g
+from stif_tpu.models.luna_tokis_variants import (
+    LunaTokisNoFlow,
+    LunaTokisTrain,
+    LunaTokisZSM,
+)
+
+TINY = dict(nf=8, groups=2, front_RBs=1, back_RBs=1)
+
+
+def _x(rng, b=1, n=2, h=8, w=8):
+    return jnp.asarray(rng.random((b, n, h, w, 3)).astype(np.float32))
+
+
+class TestVariants:
+    def test_zsm_fixed_x4(self, rng):
+        m = LunaTokisZSM(**TINY)
+        x = _x(rng)
+        p = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(p, x)
+        assert out.shape == (1, 3, 32, 32, 3)  # T = 2N-1 = 3
+
+    def test_train_variant_fold_decoder(self, rng):
+        m = LunaTokisTrain(**TINY)
+        x = _x(rng)
+        t = jnp.asarray([0.0, 0.5, 1.0])
+        p = m.init(jax.random.PRNGKey(0), x, t)
+        out = m.apply(p, x, t)
+        assert out.shape == (3, 1, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_noflow_variant(self, rng):
+        m = LunaTokisNoFlow(**TINY)
+        x = _x(rng)
+        t = jnp.asarray([0.25])
+        p = m.init(jax.random.PRNGKey(0), x, t)
+        out = m.apply(p, x, t)
+        assert out.shape == (1, 1, 32, 32, 3)
+
+    def test_local_ensemble_decode(self, rng):
+        m = LunaTokis(**TINY)
+        x = _x(rng)
+        t = jnp.asarray([0.5])
+        p = m.init(jax.random.PRNGKey(0), x, t)
+        feat = m.apply(p, x, method=m.gen_feat)
+        out = m.apply(p, feat, x, t, local_ensemble=True, method=m.decode)
+        base = m.apply(p, feat, x, t, method=m.decode)
+        assert out.shape == base.shape == (1, 1, 32, 32, 3)
+        # ensemble blends shifted passes; result differs but stays close
+        d = np.abs(np.asarray(out) - np.asarray(base)).mean()
+        assert 0 < d < 1.0
+
+    def test_zoom_decode(self, rng):
+        m = LunaTokis(**TINY)
+        x = _x(rng)
+        t = jnp.asarray([0.5])
+        p = m.init(jax.random.PRNGKey(0), x, t)
+        feat = m.apply(p, x, method=m.gen_feat)
+        out = m.apply(p, feat, x, t, (64, 64), (16, 16), (0.0, 0.0),
+                      method=m.decode_zoom)
+        assert out.shape == (1, 1, 16, 16, 3)
+
+
+class TestFactory:
+    @pytest.mark.parametrize("which,cls", [
+        ("LIIF", LunaTokis), ("LunaTokis", LunaTokisZSM),
+        ("TMNet", TMNet), ("LIIF_train", LunaTokisTrain),
+        ("LIIF_noflow", LunaTokisNoFlow),
+    ])
+    def test_dispatch(self, which, cls):
+        opt = {"network_G": {"which_model_G": which, "nf": 8, "groups": 2,
+                             "front_RBs": 1, "back_RBs": 1, "nframes": 6}}
+        assert isinstance(define_g(opt), cls)
+
+    def test_unknown_raises(self):
+        with pytest.raises(NotImplementedError):
+            define_g({"network_G": {"which_model_G": "nope"}})
+
+
+class TestFacade:
+    def test_train_and_checkpoint_roundtrip(self, rng, tmp_path):
+        from stif_tpu.train.video_sr_model import VideoSRModel
+
+        opt = {
+            "model": "VideoSR_base",
+            "is_train": True,
+            "network_G": {"which_model_G": "LIIF", "nf": 8, "groups": 2,
+                          "front_RBs": 1, "back_RBs": 1, "nframes": 6},
+            "train": {"lr_G": 1e-3, "T_period": [100, 100],
+                      "restarts": [100], "restart_weights": [1]},
+            "path": {"models": str(tmp_path / "models")},
+        }
+        model = VideoSRModel(opt)
+        lqs = rng.random((1, 2, 8, 8, 3)).astype(np.float32)
+        gt = rng.random((1, 2, 32, 32, 3)).astype(np.float32)
+        times = np.asarray([0.0, 0.5], np.float32)
+        model.init_params(lqs, times)
+        model.feed_data({"LQs": lqs, "GT": gt, "times": times})
+        losses = [model.optimize_parameters()["loss"] for _ in range(10)]
+        assert np.mean(losses[-3:]) < losses[0]
+
+        step = model.save()
+        state_before = jax.tree.leaves(model.state.params)[0]
+        model.optimize_parameters()
+        resumed = model.resume_training(step)
+        assert resumed == step
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(model.state.params)[0]),
+            np.asarray(state_before),
+        )
+
+        out = model.test()
+        assert out.shape == (2, 1, 32, 32, 3)
+
+    def test_from_torch_batch(self, rng):
+        from stif_tpu.train.video_sr_model import from_torch_batch
+
+        batch = {
+            "LQs": rng.random((2, 2, 3, 8, 8)).astype(np.float32),
+            "GT": rng.random((2, 3, 3, 32, 32)).astype(np.float32),
+            "time": np.asarray([[0.0, 0.5, 1.0], [0.0, 0.5, 1.0]]),
+        }
+        out = from_torch_batch(batch)
+        assert out["LQs"].shape == (2, 2, 8, 8, 3)
+        assert out["GT"].shape == (2, 3, 32, 32, 3)
+        assert out["times"].shape == (3,)
