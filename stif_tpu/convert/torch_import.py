@@ -97,8 +97,20 @@ def flax_params_to_torch_state(params) -> Dict[str, np.ndarray]:
     tree = params.get("params", params) if hasattr(params, "get") else params
     state = {}
     for path, value in _flatten(tree):
-        key, kind = _flax_path_to_torch(path)
         v = np.asarray(value)
+        if "blocks" in path:  # scanned trunk: leading stacked block axis
+            j = path.index("blocks")
+            pre, post = path[:j], path[j + 2:]
+            for i in range(v.shape[0]):
+                key, kind = _flax_path_to_torch(pre + (f"block{i}",) + post)
+                vi = v[i]
+                if kind == "conv" and vi.ndim == 4:
+                    vi = vi.transpose(3, 2, 0, 1)
+                elif kind == "linear" and vi.ndim == 2:
+                    vi = vi.T
+                state[key] = vi
+            continue
+        key, kind = _flax_path_to_torch(path)
         if kind == "conv" and v.ndim == 4:
             v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
         elif kind == "linear" and v.ndim == 2:
@@ -121,7 +133,8 @@ def torch_state_to_flax_params(state: Dict[str, np.ndarray], example_params):
     flat = {path: v for path, v in _flatten(inner)}
     new_flat = {}
     used = set()
-    for path, old in flat.items():
+
+    def fetch(path, old_shape):
         key, kind = _flax_path_to_torch(path)
         if key not in state:
             raise KeyError(f"checkpoint missing key {key} (for {'/'.join(path)})")
@@ -130,13 +143,25 @@ def torch_state_to_flax_params(state: Dict[str, np.ndarray], example_params):
             v = v.transpose(2, 3, 1, 0)  # OIHW -> HWIO
         elif kind == "linear" and v.ndim == 2:
             v = v.T
-        if v.shape != np.shape(old):
+        if v.shape != old_shape:
             raise ValueError(
                 f"shape mismatch for {key}: checkpoint {v.shape} vs model "
-                f"{np.shape(old)}"
+                f"{old_shape}"
             )
-        new_flat[path] = v
         used.add(key)
+        return v
+
+    for path, old in flat.items():
+        if "blocks" in path:  # scanned trunk: stack the per-block torch keys
+            j = path.index("blocks")
+            pre, post = path[:j], path[j + 2:]
+            n = np.shape(old)[0]
+            new_flat[path] = np.stack([
+                fetch(pre + (f"block{i}",) + post, np.shape(old)[1:])
+                for i in range(n)
+            ])
+        else:
+            new_flat[path] = fetch(path, np.shape(old))
     unused = set(state) - used
     if unused:
         # The reference checkpoint has no extra keys; report strictly.

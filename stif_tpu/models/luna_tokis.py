@@ -282,6 +282,94 @@ class LunaTokis(nn.Module):
             out = out + p * w
         return out
 
+    # ------------------------------------------------- chunked decode stages
+    #
+    # Memory-bounded full-grid decoding for production frame sizes: stage A+B
+    # run per query chunk (self-contained: the stage-B nearest re-sample of
+    # the HR field at its own cell centers is the identity), the full HR
+    # feature field is assembled once, then stage C+D run per chunk gathering
+    # from the full field. This is the TPU replacement for the reference's
+    # sequential 3-/12-way chunking with cache flushes
+    # (``Sakuya_arch_test.py:479-598, 669-680``) — each stage is one compiled
+    # program reused across chunks, and chunks can also be dispatched across
+    # devices. Orchestrated by ``stif_tpu.runtime.chunked.ChunkedDecoder``.
+
+    def decode_chunk_ab(self, feat, inp_cat, hr_inp, coord_chunk, times):
+        """Stages A+B for one query chunk.
+
+        feat (B,H,W,T*nf), inp_cat (B,H,W,N*3), hr_inp, coord_chunk (B,Cq,2)
+        (y,x) -> (hrfeat (nt*B,Cq,64), flow (nt*B,Cq,4))."""
+        B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
+        cxy = coord_chunk[..., ::-1]
+        feat_coord = jnp.broadcast_to(
+            make_coord((H, W), flatten=False)[None], (B, H, W, 2)
+        )
+        q_feat_a = grid_sample(feat, cxy, mode="nearest")
+        q_inp_a = grid_sample(inp_cat, cxy, mode="nearest")
+        q_coord = grid_sample(feat_coord, cxy, mode="nearest")
+        rel = (coord_chunk - q_coord) * jnp.asarray([H, W], coord_chunk.dtype)
+        base_a = jnp.concatenate([q_feat_a, q_inp_a, rel], axis=-1)
+        q_inp_b = grid_sample(hr_inp, cxy, mode="bilinear")
+        q_feat0_b = grid_sample(feat, cxy, mode="bilinear")
+
+        times = jnp.asarray(times, jnp.float32).reshape(-1)
+        nt = times.shape[0]
+        Cq = coord_chunk.shape[1]
+
+        def tile_t(v):
+            return jnp.broadcast_to(v[None], (nt,) + v.shape).reshape(
+                (nt * v.shape[0],) + v.shape[1:])
+
+        pe = jnp.broadcast_to(times[:, None, None, None],
+                              (nt, B, Cq, 1)).reshape(nt * B, Cq, 1)
+        hrfeat = self.feat_imnet(
+            jnp.concatenate([tile_t(base_a), pe], axis=-1))
+        # stage-B nearest resample of the HR field at its own cell centers is
+        # the identity (exact: cell centers unnormalize to integer pixels)
+        flow = self.flow_imnet(
+            jnp.concatenate(
+                [hrfeat, tile_t(q_feat0_b), tile_t(q_inp_b), pe], axis=-1))
+        return hrfeat, flow
+
+    def decode_chunk_cd(self, hrfeat_full, feat, hr_inp, flow_chunk,
+                        base_grid_chunk, times, out_size):
+        """Stages C+D for one query chunk, gathering from the FULL HR field.
+
+        hrfeat_full (nt*B, HH, WW, 64); flow_chunk (nt*B, Cq, 4);
+        base_grid_chunk (Cq, 2) — the align_corners=True lattice values (x, y)
+        of this chunk's pixels on the full (HH, WW) canvas."""
+        HH, WW = out_size
+        B = feat.shape[0]
+        ntB, Cq = flow_chunk.shape[0], flow_chunk.shape[1]
+        nt = ntB // B
+
+        def tile_t(v):
+            return jnp.broadcast_to(v[None], (nt,) + v.shape).reshape(
+                (nt * v.shape[0],) + v.shape[1:])
+
+        norm = jnp.asarray([(WW - 1.0) / 2.0, (HH - 1.0) / 2.0],
+                           flow_chunk.dtype)
+        g1 = base_grid_chunk[None] + flow_chunk[..., 0:2] / norm
+        g2 = base_grid_chunk[None] + flow_chunk[..., 2:4] / norm
+        g1 = jnp.clip(g1, -1 + _EPS, 1 - _EPS)
+        g2 = jnp.clip(g2, -1 + _EPS, 1 - _EPS)
+        feat_tl = tile_t(feat)
+        hr_inp_tl = tile_t(hr_inp)
+        q_feat1 = grid_sample(hrfeat_full, g1, mode="bilinear")
+        q_img1 = grid_sample(hr_inp_tl, g1, mode="bilinear")
+        q_feat3 = grid_sample(feat_tl, g1, mode="bilinear")
+        q_feat2 = grid_sample(hrfeat_full, g2, mode="bilinear")
+        q_img2 = grid_sample(hr_inp_tl, g2, mode="bilinear")
+        q_feat4 = grid_sample(feat_tl, g2, mode="bilinear")
+        times = jnp.asarray(times, jnp.float32).reshape(-1)
+        pe = jnp.broadcast_to(times[:, None, None, None],
+                              (nt, B, Cq, 1)).reshape(ntB, Cq, 1)
+        rgb = self.encode_imnet(
+            jnp.concatenate(
+                [q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe],
+                axis=-1))
+        return rgb
+
     def decode_zoom(self, feat_t, inp, times, out_size, window, center,
                     hr_inp_upsample: bool = False):
         """Interactive zoom (reference ``decoding_memory``, ``:600-861``,

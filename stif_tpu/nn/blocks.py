@@ -87,18 +87,40 @@ class ResidualBlockNoBN(nn.Module):
         return x + out
 
 
+class _ScanBlockBody(nn.Module):
+    nf: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        return ResidualBlockNoBN(self.nf, name="block")(carry), None
+
+
 class ResidualTrunk(nn.Module):
     """``make_layer``: n_blocks sequential residual blocks.
 
-    Uses a scanned block when ``n_blocks`` is large to keep compile time and
-    HLO size bounded (40-block recon trunk); parameters stay per-block.
+    For deep trunks (the 40-block recon trunk) the blocks are ``nn.scan``-ned
+    with per-block stacked parameters: the body compiles once instead of
+    unrolling 80 convs into the HLO — compile time stays flat in depth while
+    the computation is identical. Shallow trunks stay unrolled (marginally
+    better fusion). Checkpoint conversion handles both layouts
+    (``stif_tpu/convert``).
     """
 
     nf: int = 64
     n_blocks: int = 5
+    scan_threshold: int = 8
 
     @nn.compact
     def __call__(self, x):
+        if self.n_blocks >= self.scan_threshold:
+            scan = nn.scan(
+                _ScanBlockBody,
+                variable_axes={"params": 0},
+                split_rngs={"params": True},
+                length=self.n_blocks,
+            )
+            x, _ = scan(self.nf, name="blocks")(x, None)
+            return x
         for i in range(self.n_blocks):
             x = ResidualBlockNoBN(self.nf, name=f"block{i}")(x)
         return x

@@ -112,6 +112,22 @@ class InferencePipeline:
         out = np.asarray(out)[:, 0]
         return out[:, : h * self.scale, : w * self.scale]
 
+    def render_window_tmnet(self, frames: np.ndarray,
+                            times: Sequence[float]) -> np.ndarray:
+        """TMNet-mode window render (reference ``custom_video_test`` TMNet
+        branch): t enters as (B, t_N) modulation; output is the fixed-x4
+        interleaved sequence (T = N + (N-1)*t_N outputs for N inputs)."""
+        x, (h, w) = pad_to_multiple(frames, 4, self.bucket)
+        x = jnp.asarray(x[None])
+        t = jnp.asarray(np.asarray(times, np.float32))[None]  # (1, t_N)
+        key = ("tmnet", tuple(x.shape), t.shape[1])
+        if key not in self._cache:
+            model = self.model
+            self._cache[key] = jax.jit(
+                lambda p, x, t: model.apply(p, x, t))
+        out = np.asarray(self._cache[key](self.params, x, t))[0]
+        return out[:, : h * 4, : w * 4]
+
     def render_sequence(self, frames: np.ndarray, n_times: int = 8):
         """Stream a long sequence (T, H, W, 3) through overlapping frame
         pairs, ``n_times`` interpolated frames per pair (the

@@ -144,3 +144,39 @@ class TestRuntime:
         assert len(outs) == 2 and outs[0].shape == (2, 40, 56, 3)
         # shape bucketing: same padded bucket reuses the compiled program
         assert len(pipe._cache) == 1
+
+
+class TestChunkedDecoder:
+    def test_matches_direct_decode(self, rng):
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.runtime.chunked import ChunkedDecoder
+
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        x = jnp.asarray(rng.random((1, 2, 8, 12, 3)).astype(np.float32))
+        times = jnp.asarray([0.0, 0.5, 1.0])
+        params = model.init(jax.random.PRNGKey(0), x, times,
+                            method=model.full_init)
+        feat = model.apply(params, x, method=model.gen_feat)
+        want = np.asarray(model.apply(params, feat, x, times,
+                                      method=model.decode))
+        # chunk size that doesn't divide Q (32*48=1536; 500 -> 4 chunks, pad)
+        dec = ChunkedDecoder(model, params, chunk_size=500)
+        got = dec.decode(feat, x, times, (32, 48))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    def test_test_mode_variant(self, rng):
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.runtime.chunked import ChunkedDecoder
+
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        x = jnp.asarray(rng.random((1, 2, 8, 8, 3)).astype(np.float32))
+        times = jnp.asarray([0.5])
+        params = model.init(jax.random.PRNGKey(0), x, times,
+                            method=model.full_init)
+        feat = model.apply(params, x, method=model.gen_feat)
+        want = np.asarray(model.apply(params, feat, x, times,
+                                      hr_inp_upsample=True,
+                                      method=model.decode))
+        dec = ChunkedDecoder(model, params, chunk_size=256)
+        got = dec.decode(feat, x, times, (32, 32), hr_inp_upsample=True)
+        np.testing.assert_allclose(got, want, atol=2e-5)
