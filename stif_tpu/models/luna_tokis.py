@@ -126,7 +126,7 @@ class LunaTokis(nn.Module):
     # ---------------------------------------------------------------- decoder
 
     def _decode_pass(self, feat, inp_cat, hr_inp, coord_q, coord_ref, times,
-                     HH: int, WW: int):
+                     HH: int, WW: int, identity_b: bool = False):
         """One decode pass over a regular (HH, WW) query window.
 
         ``coord_q``:   (B, Q, 2) (y, x) gather coordinates (possibly shifted —
@@ -148,17 +148,31 @@ class LunaTokis(nn.Module):
         )
 
         # --- stage A gathers (time-independent) ---
-        q_feat_a = grid_sample(feat, coord_xy, mode="nearest")
-        q_inp_a = grid_sample(inp_cat, coord_xy, mode="nearest")
-        q_coord = grid_sample(feat_coord, coord_xy, mode="nearest")
+        # TPU gathers are per-index bound: all LR fields sampled at the same
+        # grid concatenate into ONE gathered field (3 gathers -> 1).
+        lr_fields = jnp.concatenate([feat, inp_cat, feat_coord], axis=-1)
+        q_a = grid_sample(lr_fields, coord_xy, mode="nearest")
+        nfc = feat.shape[-1]
+        nic = inp_cat.shape[-1]
+        q_feat_a = q_a[..., :nfc]
+        q_inp_a = q_a[..., nfc:nfc + nic]
+        q_coord = q_a[..., nfc + nic:]
         rel = coord_ref - q_coord
         rel = rel * jnp.asarray([H, W], dtype=rel.dtype)
         area = jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9
         base_a = jnp.concatenate([q_feat_a, q_inp_a, rel], axis=-1)  # (B,Q,200)
 
-        # stage-B gathers of time-independent fields
-        q_inp_b = grid_sample(hr_inp, coord_xy, mode="bilinear")
-        q_feat0_b = grid_sample(feat, coord_xy, mode="bilinear")
+        # stage-B gathers of time-independent fields (fused when hr_inp is at
+        # LR resolution, i.e. the non-test ``decoding`` path)
+        fuse_lr = hr_inp.shape[1] == H and hr_inp.shape[2] == W
+        if fuse_lr:
+            q_b = grid_sample(jnp.concatenate([feat, hr_inp], axis=-1),
+                              coord_xy, mode="bilinear")
+            q_feat0_b = q_b[..., :nfc]
+            q_inp_b = q_b[..., nfc:]
+        else:
+            q_inp_b = grid_sample(hr_inp, coord_xy, mode="bilinear")
+            q_feat0_b = grid_sample(feat, coord_xy, mode="bilinear")
 
         times = jnp.asarray(times, dtype=base_a.dtype).reshape(-1)
         nt = times.shape[0]
@@ -178,8 +192,13 @@ class LunaTokis(nn.Module):
             jnp.concatenate([tile_t(base_a), pe], axis=-1)
         )  # (nt*B, Q, 64)
         hrfeat = hrfeat_q.reshape(nt * B, HH, WW, -1)
-        # stage B: flow
-        q_feat_b = grid_sample(hrfeat, tile_t(coord_xy), mode="nearest")
+        # stage B: flow. On the canonical full grid, the nearest re-sample of
+        # the HR field at its own cell centers is the identity (cell centers
+        # unnormalize to exact integer pixels) — skip the gather.
+        if identity_b:
+            q_feat_b = hrfeat_q
+        else:
+            q_feat_b = grid_sample(hrfeat, tile_t(coord_xy), mode="nearest")
         flow_q = self.flow_imnet(
             jnp.concatenate(
                 [q_feat_b, tile_t(q_feat0_b), tile_t(q_inp_b), pe], axis=-1
@@ -191,14 +210,25 @@ class LunaTokis(nn.Module):
         g2 = jnp.clip(warp_grid(flow[..., 2:]), -1 + _EPS, 1 - _EPS)
         g1 = g1.reshape(nt * B, Q, 2)
         g2 = g2.reshape(nt * B, Q, 2)
-        feat_t_tiled = tile_t(feat)
-        hr_inp_tiled = tile_t(hr_inp)
-        q_feat1 = grid_sample(hrfeat, g1, mode="bilinear")
-        q_img1 = grid_sample(hr_inp_tiled, g1, mode="bilinear")
-        q_feat3 = grid_sample(feat_t_tiled, g1, mode="bilinear")
-        q_feat2 = grid_sample(hrfeat, g2, mode="bilinear")
-        q_img2 = grid_sample(hr_inp_tiled, g2, mode="bilinear")
-        q_feat4 = grid_sample(feat_t_tiled, g2, mode="bilinear")
+        # stage-C sources at equal resolution fuse into one gather per grid
+        if hr_inp.shape[1] == feat.shape[1] and hr_inp.shape[2] == feat.shape[2]:
+            lr_c = tile_t(jnp.concatenate([feat, hr_inp], axis=-1))
+            c1 = grid_sample(lr_c, g1, mode="bilinear")
+            c2 = grid_sample(lr_c, g2, mode="bilinear")
+            nfc2 = feat.shape[-1]
+            q_feat3, q_img1 = c1[..., :nfc2], c1[..., nfc2:]
+            q_feat4, q_img2 = c2[..., :nfc2], c2[..., nfc2:]
+            q_feat1 = grid_sample(hrfeat, g1, mode="bilinear")
+            q_feat2 = grid_sample(hrfeat, g2, mode="bilinear")
+        else:
+            feat_t_tiled = tile_t(feat)
+            hr_inp_tiled = tile_t(hr_inp)
+            q_feat1 = grid_sample(hrfeat, g1, mode="bilinear")
+            q_img1 = grid_sample(hr_inp_tiled, g1, mode="bilinear")
+            q_feat3 = grid_sample(feat_t_tiled, g1, mode="bilinear")
+            q_feat2 = grid_sample(hrfeat, g2, mode="bilinear")
+            q_img2 = grid_sample(hr_inp_tiled, g2, mode="bilinear")
+            q_feat4 = grid_sample(feat_t_tiled, g2, mode="bilinear")
         # stage D: RGB
         rgb = self.encode_imnet(
             jnp.concatenate(
@@ -257,7 +287,8 @@ class LunaTokis(nn.Module):
 
         if not local_ensemble:
             rgb, _ = self._decode_pass(feat, inp_cat, hr_inp, coord, coord,
-                                       times, HH, WW)
+                                       times, HH, WW,
+                                       identity_b=coords is None)
             return rgb
 
         rx = 2.0 / H / 2.0
