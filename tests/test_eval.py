@@ -1,0 +1,58 @@
+"""Eval harness smoke tests on synthetic Vid4-like data (tiny model)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stif_tpu.models import LunaTokis
+from stif_tpu.runtime import InferencePipeline
+from stif_tpu.runtime.eval import eval_space_time_sr, eval_temporal_x8
+
+
+@pytest.fixture(scope="module")
+def gt_root(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("vid4")
+    rng = np.random.default_rng(0)
+    for name in ["calendar", "city"]:
+        d = root / name
+        d.mkdir()
+        base = rng.random((48, 64, 3)) * 255
+        for t in range(10):
+            img = np.roll(base, t, axis=1).astype(np.uint8)
+            cv2.imwrite(str(d / f"{t:03d}.png"), img)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def pipeline():
+    model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+    x = jnp.zeros((1, 2, 8, 8, 3))
+    times = jnp.asarray([0.5, 0.0])
+    params = model.init(jax.random.PRNGKey(0), x, times,
+                        method=model.full_init)
+    return InferencePipeline(model, params, scale=4, bucket=4)
+
+
+def test_vid4_protocol(gt_root, pipeline):
+    res = eval_space_time_sr(pipeline, gt_root, downscale=0.25)
+    assert set(res.psnr) == {"calendar", "city"}
+    # random weights: finite, low-but-positive PSNR; SSIM in [-1, 1]
+    for v in res.psnr.values():
+        assert np.isfinite(v) and v > 0
+    for v in res.ssim.values():
+        assert -1 <= v <= 1
+    assert res.avg_time_s > 0
+    assert res.mean_psnr > 0
+
+
+def test_adobe_x8_protocol(gt_root, pipeline):
+    res = eval_temporal_x8(pipeline, gt_root, folders=["calendar"],
+                           downscale=0.25)
+    assert len(res.per_time_psnr) == 8
+    assert all(np.isfinite(p) for p in res.per_time_psnr)
