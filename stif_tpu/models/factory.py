@@ -11,6 +11,7 @@ def define_g(opt: dict):
     from stif_tpu.models import LunaTokis, TMNet
     from stif_tpu.models.luna_tokis_variants import (
         LunaTokisNoFlow,
+        LunaTokisS,
         LunaTokisTrain,
         LunaTokisZSM,
     )
@@ -28,6 +29,8 @@ def define_g(opt: dict):
         return LunaTokisTrain(**kwargs)
     if which == "LIIF_noflow":
         return LunaTokisNoFlow(**kwargs)
+    if which == "LIIF_S":
+        return LunaTokisS(**kwargs)
     if which == "LunaTokis":
         return LunaTokisZSM(**kwargs)
     if which == "TMNet":

@@ -24,9 +24,9 @@ TPU-first design decisions (vs. the reference):
   * the time loop over decode queries is a ``lax.map`` / vmap over a *traced*
     time axis — one compiled program for any number of query times.
   * the reference's 3-way/12-way python query chunking with
-    ``torch.cuda.empty_cache()`` is replaced by an optional scanned query
-    chunking (``query_chunks``) inside one jit — and by sharding the query
-    axis over the device mesh (see ``stif_tpu.parallel``).
+    ``torch.cuda.empty_cache()`` is replaced by the exact two-pass chunked
+    decoder (``stif_tpu.runtime.chunked``) and by sharding the query axis
+    over the device mesh (see ``stif_tpu.parallel``).
   * the legacy x4 pixel-shuffle head (``upconv1/2, HRconv, conv_last``,
     reference ``:295-299``) is kept — unused by the LIIF path but part of the
     checkpoint schema, and exposed as ``decode_pixelshuffle`` (the original
@@ -188,9 +188,7 @@ class LunaTokis(nn.Module):
         ).reshape(nt * B, Q, 1)
 
         # stage A: HR feature field
-        hrfeat_q = self.feat_imnet(
-            jnp.concatenate([tile_t(base_a), pe], axis=-1)
-        )  # (nt*B, Q, 64)
+        hrfeat_q = self.feat_imnet((tile_t(base_a), pe))  # (nt*B, Q, 64)
         hrfeat = hrfeat_q.reshape(nt * B, HH, WW, -1)
         # stage B: flow. On the canonical full grid, the nearest re-sample of
         # the HR field at its own cell centers is the identity (cell centers
@@ -200,9 +198,7 @@ class LunaTokis(nn.Module):
         else:
             q_feat_b = grid_sample(hrfeat, tile_t(coord_xy), mode="nearest")
         flow_q = self.flow_imnet(
-            jnp.concatenate(
-                [q_feat_b, tile_t(q_feat0_b), tile_t(q_inp_b), pe], axis=-1
-            )
+            (q_feat_b, tile_t(q_feat0_b), tile_t(q_inp_b), pe)
         )  # (nt*B, Q, 4)
         flow = flow_q.reshape(nt * B, HH, WW, 4)
         # stage C: warp grids + resampling
@@ -231,15 +227,14 @@ class LunaTokis(nn.Module):
             q_feat4 = grid_sample(feat_t_tiled, g2, mode="bilinear")
         # stage D: RGB
         rgb = self.encode_imnet(
-            jnp.concatenate(
-                [q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe],
-                axis=-1,
-            )
+            (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe)
         )
         return rgb.reshape(nt, B, HH, WW, 3), area
 
     def _decode_prep(self, feat_t, inp, hr_inp_upsample: bool):
-        feat = feat_t.transpose(0, 2, 3, 1, 4)
+        # the reference decoder always consumes exactly the first 3 temporal
+        # feature maps (Sakuya_arch_test.py:365), regardless of window length
+        feat = feat_t[:, :3].transpose(0, 2, 3, 1, 4)
         B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
         feat = feat.reshape(B, H, W, -1)  # concat along channels (:365)
         N = inp.shape[1]
@@ -260,8 +255,6 @@ class LunaTokis(nn.Module):
         hr_inp_upsample: bool = False,      # decoding_test upsamples inp x4
         local_ensemble: bool = False,       # decoding_localensemble (:962-1085)
         coords=None,                 # optional explicit (Q, 2) query window
-        query_chunks: int = 1,
-        time_batched: bool = False,
     ):
         """Continuous decode at query times. Returns (nt, B, HH, WW, 3).
 
@@ -286,9 +279,15 @@ class LunaTokis(nn.Module):
         coord = jnp.broadcast_to(coord[None], (B,) + coord.shape)
 
         if not local_ensemble:
-            rgb, _ = self._decode_pass(feat, inp_cat, hr_inp, coord, coord,
-                                       times, HH, WW,
-                                       identity_b=coords is None)
+            # remat the decode pass: its gathered fields and SIREN hidden
+            # activations (the dominant training residuals) are recomputed in
+            # the backward pass instead of stored. No effect on inference.
+            def pass_fn(mdl, feat_, inp_cat_, hr_inp_, cq, cr, t):
+                return mdl._decode_pass(feat_, inp_cat_, hr_inp_, cq, cr, t,
+                                        HH, WW, identity_b=coords is None)
+
+            rgb, _ = nn.remat(pass_fn)(self, feat, inp_cat, hr_inp, coord,
+                                       coord, times)
             return rgb
 
         rx = 2.0 / H / 2.0
@@ -353,13 +352,11 @@ class LunaTokis(nn.Module):
 
         pe = jnp.broadcast_to(times[:, None, None, None],
                               (nt, B, Cq, 1)).reshape(nt * B, Cq, 1)
-        hrfeat = self.feat_imnet(
-            jnp.concatenate([tile_t(base_a), pe], axis=-1))
+        hrfeat = self.feat_imnet((tile_t(base_a), pe))
         # stage-B nearest resample of the HR field at its own cell centers is
         # the identity (exact: cell centers unnormalize to integer pixels)
         flow = self.flow_imnet(
-            jnp.concatenate(
-                [hrfeat, tile_t(q_feat0_b), tile_t(q_inp_b), pe], axis=-1))
+            (hrfeat, tile_t(q_feat0_b), tile_t(q_inp_b), pe))
         return hrfeat, flow
 
     def decode_chunk_cd(self, hrfeat_full, feat, hr_inp, flow_chunk,
@@ -396,9 +393,7 @@ class LunaTokis(nn.Module):
         pe = jnp.broadcast_to(times[:, None, None, None],
                               (nt, B, Cq, 1)).reshape(ntB, Cq, 1)
         rgb = self.encode_imnet(
-            jnp.concatenate(
-                [q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe],
-                axis=-1))
+            (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe))
         return rgb
 
     def decode_zoom(self, feat_t, inp, times, out_size, window, center,
@@ -426,12 +421,12 @@ class LunaTokis(nn.Module):
         return x.reshape(B, T, 4 * H, 4 * W, 3)
 
     def __call__(self, x, times, out_size=None, test: bool = False,
-                 query_chunks: int = 1):
+                 local_ensemble: bool = False):
         """Full forward: (B, N, H, W, 3), times (nt,) -> (nt, B, HH, WW, 3)."""
         feat = self.gen_feat(x)
         return self.decode(
             feat, x, times, out_size=out_size, hr_inp_upsample=test,
-            query_chunks=query_chunks,
+            local_ensemble=local_ensemble,
         )
 
     def full_init(self, x, times):

@@ -135,7 +135,7 @@ class LunaTokisTrain(nn.Module):
         return self.encoder(x)
 
     def decode(self, feat_t, inp, times, out_size=None):
-        feat = feat_t.transpose(0, 2, 3, 1, 4)
+        feat = feat_t[:, :3].transpose(0, 2, 3, 1, 4)  # first 3 steps (:363)
         B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
         feat = feat.reshape(B, H, W, -1)
         N = inp.shape[1]
@@ -206,6 +206,80 @@ class LunaTokisTrain(nn.Module):
     def __call__(self, x, times, out_size=None):
         feat = self.encoder(x)
         return self.decode(feat, x, times, out_size)
+
+
+@register_model("LunaTokisS")
+class LunaTokisS(nn.Module):
+    """Ablation ``Sakuya_arch_test_S.py``: no feat_imnet — the flow comes
+    straight from the encoder feature (201->4), and the encoder decodes RGB
+    from the two warped encoder-feature/image samples (396->3, no time code
+    in stage D). HR input is the bilinear x4 upsample."""
+
+    nf: int = 64
+    nframes: int = 6
+    groups: int = 8
+    front_RBs: int = 5
+    back_RBs: int = 40
+    use_pallas: bool = False
+
+    def setup(self):
+        self.encoder = _Encoder(self.nf, self.groups, self.front_RBs,
+                                self.back_RBs)
+        up = self.use_pallas
+        self.flow_imnet = Siren([64, 64, 256], 2, 4, outermost_linear=True,
+                                use_pallas=up)
+        self.encode_imnet = Siren([64, 64, 256, 256], 3, 3,
+                                  outermost_linear=True, use_pallas=up)
+
+    def __call__(self, x, times, out_size=None):
+        from stif_tpu.ops.resize import resize_bilinear
+
+        feat_t = self.encoder(x)
+        feat = feat_t[:, :3].transpose(0, 2, 3, 1, 4)
+        B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
+        feat = feat.reshape(B, H, W, -1)
+        N = x.shape[1]
+        inp_cat = x.transpose(0, 2, 3, 1, 4).reshape(B, H, W, N * 3)
+        if out_size is None:
+            out_size = (H * 4, W * 4)
+        HH, WW = out_size
+        Q = HH * WW
+        coord = jnp.clip(make_coord((HH, WW)), -1 + _EPS, 1 - _EPS)
+        coord = jnp.broadcast_to(coord[None], (B, Q, 2))
+        cxy = coord[..., ::-1]
+        feat_coord = jnp.broadcast_to(
+            make_coord((H, W), flatten=False)[None], (B, H, W, 2)
+        )
+        q_feat = grid_sample(feat, cxy, mode="nearest")
+        q_inp = grid_sample(inp_cat, cxy, mode="nearest")
+        q_coord = grid_sample(feat_coord, cxy, mode="nearest")
+        rel = (coord - q_coord) * jnp.asarray([H, W], coord.dtype)
+
+        times = jnp.asarray(times, jnp.float32).reshape(-1)
+        nt = times.shape[0]
+
+        def tile_t(v):
+            return jnp.broadcast_to(v[None], (nt,) + v.shape).reshape(
+                (nt * v.shape[0],) + v.shape[1:])
+
+        pe = jnp.broadcast_to(times[:, None, None, None],
+                              (nt, B, Q, 1)).reshape(nt * B, Q, 1)
+        flow_q = self.flow_imnet(
+            (tile_t(jnp.concatenate([q_feat, q_inp, rel], axis=-1)), pe))
+        flow = flow_q.reshape(nt * B, HH, WW, 4)
+        hr_inp = resize_bilinear(inp_cat, scale_factor=4, align_corners=False)
+        g1 = jnp.clip(warp_grid(flow[..., :2]), -1 + _EPS, 1 - _EPS)
+        g2 = jnp.clip(warp_grid(flow[..., 2:]), -1 + _EPS, 1 - _EPS)
+        g1 = g1.reshape(nt * B, Q, 2)
+        g2 = g2.reshape(nt * B, Q, 2)
+        feat_tl = tile_t(feat)
+        hr_tl = tile_t(hr_inp)
+        q_feat3 = grid_sample(feat_tl, g1, mode="bilinear")
+        q_img1 = grid_sample(hr_tl, g1, mode="bilinear")
+        q_feat4 = grid_sample(feat_tl, g2, mode="bilinear")
+        q_img2 = grid_sample(hr_tl, g2, mode="bilinear")
+        rgb = self.encode_imnet((q_feat3, q_feat4, q_img1, q_img2))
+        return rgb.reshape(nt, B, HH, WW, 3)
 
 
 @register_model("LunaTokisNoFlow")

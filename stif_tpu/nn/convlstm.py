@@ -67,8 +67,12 @@ class DeformableConvLSTM(nn.Module):
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
+        # remat the step: the two PCD pyramids per step are recomputed in the
+        # backward pass instead of storing their activations x T steps —
+        # trades ~2x step FLOPs for O(T) memory in training; no effect on
+        # inference (jax.checkpoint is an autodiff-only transform).
         scan = nn.scan(
-            _DeformableLSTMStep,
+            nn.remat(_DeformableLSTMStep),
             variable_broadcast="params",
             split_rngs={"params": False},
             in_axes=1,

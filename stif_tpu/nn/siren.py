@@ -70,7 +70,11 @@ class Siren(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        """``x``: features-last array, or a tuple/list of arrays to be
+        concatenated on the feature axis — with ``use_pallas`` the concat
+        happens per-tile in VMEM (the wide input never hits HBM)."""
+        is_multi = isinstance(x, (tuple, list))
+        cin = (sum(v.shape[-1] for v in x) if is_multi else x.shape[-1])
         dims = ([cin] + list(self.hidden_features[: self.hidden_layers + 1])
                 + [self.out_features])
         layers = [
@@ -96,6 +100,8 @@ class Siren(nn.Module):
             return siren_apply_fused(x, list(ws), list(bs),
                                      omega0=self.hidden_omega0)
 
+        if is_multi:
+            x = jnp.concatenate(list(x), axis=-1)
         for layer in layers:
             x = layer(x)
         return x

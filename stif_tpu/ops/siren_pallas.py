@@ -29,13 +29,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _siren_kernel(x_ref, *refs, n_layers: int, omega0: float):
-    """refs: [w0, b0, w1, b1, ..., out_ref]."""
+def _siren_kernel(*refs, n_inputs: int, n_layers: int, omega0: float):
+    """refs: [x0..x{n_inputs-1}, w0, b0, w1, b1, ..., out_ref].
+
+    The input field tiles are concatenated along lanes *in VMEM* — the wide
+    decoder input (e.g. 525 channels from 7 gathered fields) never
+    materializes in HBM.
+    """
     out_ref = refs[-1]
-    h = x_ref[:]
+    h = jnp.concatenate([refs[i][:] for i in range(n_inputs)], axis=-1)
     for i in range(n_layers):
-        w = refs[2 * i][:]
-        b = refs[2 * i + 1][:]
+        w = refs[n_inputs + 2 * i][:]
+        b = refs[n_inputs + 2 * i + 1][:]
         h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         if i < n_layers - 1:
             h = jnp.sin(omega0 * h)
@@ -47,24 +52,25 @@ def siren_apply_fused(x, weights: Sequence, biases: Sequence,
                       interpret: bool = False):
     """Fused SIREN forward.
 
-    x: (..., Q, Cin) — flattened internally over leading dims;
-    weights[i]: (Cin_i, Cout_i); biases[i]: (Cout_i,).
-    The last layer is plain linear (no sine), matching
-    ``Siren(outermost_linear=True)``.
+    x: (..., Q, Cin) array — or a list/tuple of arrays sharing leading dims,
+    concatenated along the feature axis inside the kernel (per VMEM tile).
+    weights[i]: (Cin_i, Cout_i); biases[i]: (Cout_i,). The last layer is
+    plain linear (no sine), matching ``Siren(outermost_linear=True)``.
     """
+    xs = list(x) if isinstance(x, (tuple, list)) else [x]
     n_layers = len(weights)
-    orig_shape = x.shape
-    cin = x.shape[-1]
+    lead_shape = xs[0].shape[:-1]
+    cins = [v.shape[-1] for v in xs]
     cout = weights[-1].shape[1]
     q = 1
-    for d in orig_shape[:-1]:
+    for d in lead_shape:
         q *= d
-    x2 = x.reshape(q, cin)
+    xs2 = [v.reshape(q, v.shape[-1]) for v in xs]
 
     # Pad Q to a tile multiple and the final output dim to a lane multiple.
     qp = _round_up(max(q, 1), tile_q)
     if qp != q:
-        x2 = jnp.pad(x2, ((0, qp - q), (0, 0)))
+        xs2 = [jnp.pad(v, ((0, qp - q), (0, 0))) for v in xs2]
     cout_p = _round_up(cout, 128)
     wl = list(weights)
     bl = list(biases)
@@ -72,11 +78,11 @@ def siren_apply_fused(x, weights: Sequence, biases: Sequence,
         wl[-1] = jnp.pad(wl[-1], ((0, 0), (0, cout_p - cout)))
         bl[-1] = jnp.pad(bl[-1], ((0, cout_p - cout),))
 
-    params = []
     in_specs = [
-        pl.BlockSpec((tile_q, cin), lambda i: (i, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_q, c), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        for c in cins
     ]
+    params = []
     for w, b in zip(wl, bl):
         params += [w.astype(jnp.float32), b.reshape(1, -1).astype(jnp.float32)]
         in_specs += [
@@ -85,18 +91,18 @@ def siren_apply_fused(x, weights: Sequence, biases: Sequence,
                          memory_space=pltpu.VMEM),
         ]
 
-    kernel = functools.partial(_siren_kernel, n_layers=n_layers,
-                               omega0=omega0)
+    kernel = functools.partial(_siren_kernel, n_inputs=len(xs),
+                               n_layers=n_layers, omega0=omega0)
     out = pl.pallas_call(
         kernel,
         grid=(qp // tile_q,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile_q, cout_p), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((qp, cout_p), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((qp, cout_p), xs[0].dtype),
         interpret=interpret,
-    )(x2, *params)
-    return out[:q, :cout].reshape(orig_shape[:-1] + (cout,))
+    )(*xs2, *params)
+    return out[:q, :cout].reshape(lead_shape + (cout,))
 
 
 def siren_params_from_flax(siren_variables):

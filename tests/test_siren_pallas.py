@@ -33,3 +33,23 @@ def test_batched_leading_dims(rng):
     got = np.asarray(siren_apply_fused(x, ws, bs, tile_q=128, interpret=True))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_multi_input_fields(rng):
+    """Field-list input: per-tile VMEM concat must equal explicit concat."""
+    model = Siren([64, 64, 256], 2, 4, outermost_linear=True)
+    parts = [
+        jnp.asarray(rng.standard_normal((64, c)).astype(np.float32))
+        for c in (64, 192, 6, 1)
+    ]
+    x = jnp.concatenate(parts, axis=-1)
+    params = model.init(jax.random.PRNGKey(0), x)
+    want = np.asarray(model.apply(params, x))
+    ws, bs = siren_params_from_flax(params["params"])
+    got = np.asarray(
+        siren_apply_fused(parts, ws, bs, tile_q=32, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # the flax module also accepts the tuple directly (non-pallas path)
+    got2 = np.asarray(model.apply(params, tuple(parts)))
+    np.testing.assert_allclose(got2, want, atol=1e-6)

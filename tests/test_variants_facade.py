@@ -10,6 +10,7 @@ from stif_tpu.models import LunaTokis, TMNet
 from stif_tpu.models.factory import define_g
 from stif_tpu.models.luna_tokis_variants import (
     LunaTokisNoFlow,
+    LunaTokisS,
     LunaTokisTrain,
     LunaTokisZSM,
 )
@@ -46,6 +47,15 @@ class TestVariants:
         out = m.apply(p, x, t)
         assert out.shape == (1, 1, 32, 32, 3)
 
+    def test_s_variant(self, rng):
+        m = LunaTokisS(**TINY)
+        x = _x(rng)
+        t = jnp.asarray([0.25, 0.75])
+        p = m.init(jax.random.PRNGKey(0), x, t)
+        out = m.apply(p, x, t)
+        assert out.shape == (2, 1, 32, 32, 3)
+        assert np.isfinite(np.asarray(out)).all()
+
     def test_local_ensemble_decode(self, rng):
         m = LunaTokis(**TINY)
         x = _x(rng)
@@ -74,7 +84,7 @@ class TestFactory:
     @pytest.mark.parametrize("which,cls", [
         ("LIIF", LunaTokis), ("LunaTokis", LunaTokisZSM),
         ("TMNet", TMNet), ("LIIF_train", LunaTokisTrain),
-        ("LIIF_noflow", LunaTokisNoFlow),
+        ("LIIF_noflow", LunaTokisNoFlow), ("LIIF_S", LunaTokisS),
     ])
     def test_dispatch(self, which, cls):
         opt = {"network_G": {"which_model_G": which, "nf": 8, "groups": 2,
