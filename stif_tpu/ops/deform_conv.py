@@ -58,6 +58,109 @@ def split_offset_mask(conv_out, deformable_groups: int, kernel_size: IntPair = 3
     return offset, mask
 
 
+def _raw_grouped_gather(xg, sy, sx):
+    """xg: (B, H, W, G, CpG); sy, sx: (B, Q, G, K) int starts.
+    Returns (B, Q, G, K, 2, 2, CpG) via one batched patch gather."""
+    B, H, W, G, CpG = xg.shape
+    Q, K = sy.shape[1], sy.shape[3]
+    gi = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[None, None, :, None], sy.shape
+    )
+    starts = jnp.stack(
+        [sy.reshape(B, -1), sx.reshape(B, -1), gi.reshape(B, -1)], axis=-1
+    )
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4, 5),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2, 3),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    patches = jax.lax.gather(xg, starts, dn,
+                             slice_sizes=(1, 2, 2, 1, CpG), mode="clip")
+    return patches.reshape(B, Q, G, K, 2, 2, CpG)
+
+
+@jax.custom_vjp
+def _grouped_patch_gather(xg, sy, sx):
+    return _raw_grouped_gather(xg, sy, sx)
+
+
+def _gpg_fwd(xg, sy, sx):
+    # save xg only for its shape/dtype (no copy; it is alive upstream anyway)
+    return _raw_grouped_gather(xg, sy, sx), (xg, sy, sx)
+
+
+def _gpg_bwd(res, ct):
+    """x-cotangent of the grouped patch gather.
+
+    XLA's scatter-add transpose runs ~0.7M idx/s on TPU (the dominant cost of
+    DCN training); for LR-sized sources a per-group dense one-hot contraction
+    on the MXU is ~2 orders of magnitude faster (see ops/gather_utils.py).
+    """
+    from stif_tpu.ops.gather_utils import ONEHOT_BWD_MAX_HW
+
+    xg, sy, sx = res
+    B, H, W, G, CpG = xg.shape
+    dtype = xg.dtype
+    Q, K = sy.shape[1], sy.shape[3]
+    HW = H * W
+    ct = ct.astype(jnp.float32)
+    if HW <= ONEHOT_BWD_MAX_HW:
+        pix = jnp.arange(HW, dtype=jnp.int32)
+        chunk = 16384
+        dxs = []
+        for g in range(G):
+            rows, upds = [], []
+            for i in range(2):
+                for j in range(2):
+                    rows.append(
+                        ((sy[:, :, g] + i) * W + (sx[:, :, g] + j)
+                         ).reshape(B, -1))                     # (B, QK)
+                    upds.append(ct[:, :, g, :, i, j].reshape(B, -1, CpG))
+            idx = jnp.concatenate(rows, axis=1)                # (B, 4QK)
+            upd = jnp.concatenate(upds, axis=1)                # (B, 4QK, CpG)
+            R = idx.shape[1]
+            n_chunks = max(1, -(-R // chunk))
+            if n_chunks * chunk != R:
+                pad = n_chunks * chunk - R
+                idx = jnp.pad(idx, ((0, 0), (0, pad)))
+                upd = jnp.pad(upd, ((0, 0), (0, pad), (0, 0)))
+            dxg = jnp.zeros((B, HW, CpG), jnp.float32)
+            for k in range(n_chunks):
+                sl = slice(k * chunk, (k + 1) * chunk)
+                onehot = (idx[:, sl, None] == pix[None, None]).astype(
+                    jnp.float32)
+                dxg = dxg + jnp.einsum(
+                    "brp,brc->bpc", onehot, upd[:, sl],
+                    preferred_element_type=jnp.float32)
+            dxs.append(dxg)
+        dx = jnp.stack(dxs, axis=2).reshape(B, H, W, G, CpG)
+        return dx.astype(dtype), None, None
+    # fallback: scatter-add transpose
+    gi = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[None, None, :, None], sy.shape
+    )
+    starts = jnp.stack(
+        [sy.reshape(B, -1), sx.reshape(B, -1), gi.reshape(B, -1)], axis=-1
+    )
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(2, 3, 4, 5),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(1, 2, 3),
+        operand_batching_dims=(0,),
+        scatter_indices_batching_dims=(0,),
+    )
+    dx = jax.lax.scatter_add(
+        jnp.zeros((B, H, W, G, CpG), jnp.float32), starts,
+        ct.reshape(B, -1, 2, 2, CpG)[:, :, :, :, None, :], dn, mode="clip",
+    )
+    return dx.astype(dtype), None, None
+
+
+_grouped_patch_gather.defvjp(_gpg_fwd, _gpg_bwd)
+
+
 def _dcn_patch_gather(x, py, px, mask, weight, bias, G):
     """Patch-gather DCN core: one fused (2, 2, CpG) gather per (query, group,
     tap) instead of four corner gathers — the per-index-bound TPU gather does
@@ -77,23 +180,10 @@ def _dcn_patch_gather(x, py, px, mask, weight, bias, G):
 
     sy, sx, w = patch_weights(py, px, H, W, "zeros")  # (B,Q,G,K[,2,2])
     xg = x.astype(f32).reshape(B, H, W, G, CpG)
-    # one gather per (q, g, k): start = (y, x, g), slice (1, 2, 2, 1, CpG)
-    starts = jnp.stack(
-        [sy.reshape(B, -1), sx.reshape(B, -1),
-         jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[None, None, :, None],
-                          sy.shape).reshape(B, -1)],
-        axis=-1,
-    )  # (B, Q*G*K, 3)
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(2, 3, 4, 5),
-        collapsed_slice_dims=(),
-        start_index_map=(1, 2, 3),
-        operand_batching_dims=(0,),
-        start_indices_batching_dims=(0,),
-    )
-    patches = jax.lax.gather(xg, starts, dn,
-                             slice_sizes=(1, 2, 2, 1, CpG), mode="clip")
-    patches = patches.reshape(B, Q, G, K, 2, 2, CpG)
+    # one gather per (q, g, k): start = (y, x, g), slice (1, 2, 2, 1, CpG);
+    # custom VJP — the x-cotangent uses a one-hot MXU contraction instead of
+    # XLA's serial scatter-add
+    patches = _grouped_patch_gather(xg, sy, sx)  # (B, Q, G, K, 2, 2, CpG)
     wm = (w * mask.astype(f32)[..., None, None]).astype(f32)
     col = jnp.einsum("bqgkijc,bqgkij->bqkgc", patches, wm)
     wr = weight.astype(f32).reshape(K, G, CpG, Cout)

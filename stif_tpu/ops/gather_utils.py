@@ -81,9 +81,15 @@ def patch_weights(iy, ix, H: int, W: int, padding_mode: str = "zeros"):
     return sy, sx, w
 
 
-def gather_patches_2x2(x, sy, sx):
-    """x: (B, H, W, C); sy, sx: (B, Q) int32 in-range starts.
-    Returns (B, Q, 2, 2, C) via one batched patch gather."""
+# Sources up to this many pixels get the dense one-hot-matmul backward; the
+# TPU's scatter-add (the gather transpose) runs at ~0.7M indices/s — ~30-50x
+# slower than the forward gather — while a (Q, HW) one-hot contraction on the
+# MXU is bandwidth-bound and ~100x faster at LR feature-map sizes.
+ONEHOT_BWD_MAX_HW = 36864
+_ONEHOT_CHUNK = 16384
+
+
+def _raw_gather_patches(x, sy, sx):
     B, H, W, C = x.shape
     starts = jnp.stack([sy, sx], axis=-1)  # (B, Q, 2)
     dn = jax.lax.GatherDimensionNumbers(
@@ -96,6 +102,83 @@ def gather_patches_2x2(x, sy, sx):
     out = jax.lax.gather(x, starts, dn, slice_sizes=(1, 2, 2, C),
                          mode="clip")
     return out.reshape(B, sy.shape[1], 2, 2, C)
+
+
+def _onehot_patch_transpose(ct, sy, sx, H, W):
+    """Dense transpose of the 2x2 patch gather: dx = sum_cells Onehot^T @ ct.
+
+    ct: (B, Q, 2, 2, C); returns dx (B, H, W, C). Chunked over Q to bound the
+    one-hot buffer.
+    """
+    B, Q, _, _, C = ct.shape
+    HW = H * W
+    dx = jnp.zeros((B, HW, C), ct.dtype)
+    pix = jnp.arange(HW, dtype=jnp.int32)
+    n_chunks = max(1, -(-Q // _ONEHOT_CHUNK))
+    pad_q = n_chunks * _ONEHOT_CHUNK
+    if pad_q != Q:
+        # padded rows scatter zeros (ct padded with 0; index 0 is harmless)
+        ct = jnp.pad(ct, ((0, 0), (0, pad_q - Q), (0, 0), (0, 0), (0, 0)))
+        sy = jnp.pad(sy, ((0, 0), (0, pad_q - Q)))
+        sx = jnp.pad(sx, ((0, 0), (0, pad_q - Q)))
+    for k in range(n_chunks):
+        sl = slice(k * _ONEHOT_CHUNK, (k + 1) * _ONEHOT_CHUNK)
+        syc, sxc = sy[:, sl], sx[:, sl]
+        ctc = ct[:, sl]
+        # stack the 4 cells along the row axis: one matmul per chunk
+        rows = []
+        upds = []
+        for i in range(2):
+            for j in range(2):
+                rows.append((syc + i) * W + (sxc + j))  # (B, cq)
+                upds.append(ctc[:, :, i, j])            # (B, cq, C)
+        idx = jnp.concatenate(rows, axis=1)             # (B, 4cq)
+        upd = jnp.concatenate(upds, axis=1)             # (B, 4cq, C)
+        onehot = (idx[..., None] == pix[None, None]).astype(ct.dtype)
+        dx = dx + jnp.einsum("brp,brc->bpc", onehot, upd,
+                             preferred_element_type=jnp.float32)
+    return dx.reshape(B, H, W, ct.shape[-1])
+
+
+@jax.custom_vjp
+def gather_patches_2x2(x, sy, sx):
+    """x: (B, H, W, C); sy, sx: (B, Q) int32 in-range starts.
+    Returns (B, Q, 2, 2, C) via one batched patch gather.
+
+    Custom VJP: the x-cotangent uses a dense one-hot MXU contraction for
+    LR-sized sources instead of XLA's serial scatter-add."""
+    return _raw_gather_patches(x, sy, sx)
+
+
+def _gp_fwd(x, sy, sx):
+    # save x only for its shape/dtype (no copy; it is alive upstream anyway)
+    return _raw_gather_patches(x, sy, sx), (x, sy, sx)
+
+
+def _gp_bwd(res, ct):
+    x, sy, sx = res
+    B, H, W, C = x.shape
+    dtype = x.dtype
+    if H * W <= ONEHOT_BWD_MAX_HW:
+        dx = _onehot_patch_transpose(ct.astype(jnp.float32), sy, sx, H, W)
+        return dx.astype(dtype), None, None
+    # fallback: the standard scatter-add transpose
+    starts = jnp.stack([sy, sx], axis=-1)
+    dn = jax.lax.ScatterDimensionNumbers(
+        update_window_dims=(2, 3, 4),
+        inserted_window_dims=(),
+        scatter_dims_to_operand_dims=(1, 2),
+        operand_batching_dims=(0,),
+        scatter_indices_batching_dims=(0,),
+    )
+    dx = jax.lax.scatter_add(
+        jnp.zeros((B, H, W, C), dtype), starts,
+        ct.reshape(B, -1, 2, 2, C).astype(dtype), dn, mode="clip",
+    )
+    return dx, None, None
+
+
+gather_patches_2x2.defvjp(_gp_fwd, _gp_bwd)
 
 
 def bilinear_gather(x, iy, ix, padding_mode: str = "zeros"):
