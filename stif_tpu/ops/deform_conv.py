@@ -109,33 +109,36 @@ def _gpg_bwd(res, ct):
     if HW <= ONEHOT_BWD_MAX_HW:
         pix = jnp.arange(HW, dtype=jnp.int32)
         chunk = 16384
-        dxs = []
-        for g in range(G):
-            rows, upds = [], []
-            for i in range(2):
-                for j in range(2):
-                    rows.append(
-                        ((sy[:, :, g] + i) * W + (sx[:, :, g] + j)
-                         ).reshape(B, -1))                     # (B, QK)
-                    upds.append(ct[:, :, g, :, i, j].reshape(B, -1, CpG))
-            idx = jnp.concatenate(rows, axis=1)                # (B, 4QK)
-            upd = jnp.concatenate(upds, axis=1)                # (B, 4QK, CpG)
-            R = idx.shape[1]
-            n_chunks = max(1, -(-R // chunk))
-            if n_chunks * chunk != R:
-                pad = n_chunks * chunk - R
-                idx = jnp.pad(idx, ((0, 0), (0, pad)))
-                upd = jnp.pad(upd, ((0, 0), (0, pad), (0, 0)))
-            dxg = jnp.zeros((B, HW, CpG), jnp.float32)
-            for k in range(n_chunks):
-                sl = slice(k * chunk, (k + 1) * chunk)
-                onehot = (idx[:, sl, None] == pix[None, None]).astype(
-                    jnp.float32)
-                dxg = dxg + jnp.einsum(
-                    "brp,brc->bpc", onehot, upd[:, sl],
-                    preferred_element_type=jnp.float32)
-            dxs.append(dxg)
-        dx = jnp.stack(dxs, axis=2).reshape(B, H, W, G, CpG)
+        # stack the 4 patch cells along the row axis, keep groups batched
+        rows, upds = [], []
+        for i in range(2):
+            for j in range(2):
+                # (B, Q, G, K) -> (B, G, QK)
+                rows.append(((sy + i) * W + (sx + j)).transpose(0, 2, 1, 3)
+                            .reshape(B, G, -1))
+                upds.append(ct[..., i, j, :].transpose(0, 2, 1, 3, 4)
+                            .reshape(B, G, -1, CpG))
+        idx = jnp.concatenate(rows, axis=2)                # (B, G, 4QK)
+        upd = jnp.concatenate(upds, axis=2)                # (B, G, 4QK, CpG)
+        R = idx.shape[2]
+        n_chunks = max(1, -(-R // chunk))
+        if n_chunks * chunk != R:
+            pad = n_chunks * chunk - R
+            idx = jnp.pad(idx, ((0, 0), (0, 0), (0, pad)))
+            upd = jnp.pad(upd, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        idx = idx.reshape(B, G, n_chunks, chunk).transpose(2, 0, 1, 3)
+        upd = upd.reshape(B, G, n_chunks, chunk, CpG).transpose(2, 0, 1, 3, 4)
+
+        def body(dxg, inputs):
+            idx_c, upd_c = inputs  # (B, G, chunk), (B, G, chunk, CpG)
+            onehot = (idx_c[..., None] == pix).astype(jnp.float32)
+            return dxg + jnp.einsum(
+                "bgrp,bgrc->bgpc", onehot, upd_c,
+                preferred_element_type=jnp.float32), None
+
+        dxg, _ = jax.lax.scan(
+            body, jnp.zeros((B, G, HW, CpG), jnp.float32), (idx, upd))
+        dx = dxg.transpose(0, 2, 1, 3).reshape(B, H, W, G, CpG)
         return dx.astype(dtype), None, None
     # fallback: scatter-add transpose
     gi = jnp.broadcast_to(

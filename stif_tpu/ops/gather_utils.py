@@ -112,32 +112,34 @@ def _onehot_patch_transpose(ct, sy, sx, H, W):
     """
     B, Q, _, _, C = ct.shape
     HW = H * W
-    dx = jnp.zeros((B, HW, C), ct.dtype)
     pix = jnp.arange(HW, dtype=jnp.int32)
-    n_chunks = max(1, -(-Q // _ONEHOT_CHUNK))
-    pad_q = n_chunks * _ONEHOT_CHUNK
-    if pad_q != Q:
-        # padded rows scatter zeros (ct padded with 0; index 0 is harmless)
-        ct = jnp.pad(ct, ((0, 0), (0, pad_q - Q), (0, 0), (0, 0), (0, 0)))
-        sy = jnp.pad(sy, ((0, 0), (0, pad_q - Q)))
-        sx = jnp.pad(sx, ((0, 0), (0, pad_q - Q)))
-    for k in range(n_chunks):
-        sl = slice(k * _ONEHOT_CHUNK, (k + 1) * _ONEHOT_CHUNK)
-        syc, sxc = sy[:, sl], sx[:, sl]
-        ctc = ct[:, sl]
-        # stack the 4 cells along the row axis: one matmul per chunk
-        rows = []
-        upds = []
-        for i in range(2):
-            for j in range(2):
-                rows.append((syc + i) * W + (sxc + j))  # (B, cq)
-                upds.append(ctc[:, :, i, j])            # (B, cq, C)
-        idx = jnp.concatenate(rows, axis=1)             # (B, 4cq)
-        upd = jnp.concatenate(upds, axis=1)             # (B, 4cq, C)
-        onehot = (idx[..., None] == pix[None, None]).astype(ct.dtype)
-        dx = dx + jnp.einsum("brp,brc->bpc", onehot, upd,
-                             preferred_element_type=jnp.float32)
-    return dx.reshape(B, H, W, ct.shape[-1])
+    # stack the 4 cells along the row axis
+    rows, upds = [], []
+    for i in range(2):
+        for j in range(2):
+            rows.append((sy + i) * W + (sx + j))  # (B, Q)
+            upds.append(ct[:, :, i, j])           # (B, Q, C)
+    idx = jnp.concatenate(rows, axis=1)           # (B, 4Q)
+    upd = jnp.concatenate(upds, axis=1)           # (B, 4Q, C)
+    R = idx.shape[1]
+    n_chunks = max(1, -(-R // _ONEHOT_CHUNK))
+    if n_chunks * _ONEHOT_CHUNK != R:
+        pad = n_chunks * _ONEHOT_CHUNK - R
+        # padded rows contribute zero updates (index 0 is harmless)
+        idx = jnp.pad(idx, ((0, 0), (0, pad)))
+        upd = jnp.pad(upd, ((0, 0), (0, pad), (0, 0)))
+    idx = idx.reshape(B, n_chunks, _ONEHOT_CHUNK).transpose(1, 0, 2)
+    upd = upd.reshape(B, n_chunks, _ONEHOT_CHUNK, C).transpose(1, 0, 2, 3)
+
+    def body(dx, inputs):
+        idx_c, upd_c = inputs
+        onehot = (idx_c[..., None] == pix).astype(jnp.float32)
+        return dx + jnp.einsum("brp,brc->bpc", onehot, upd_c,
+                               preferred_element_type=jnp.float32), None
+
+    dx, _ = jax.lax.scan(body, jnp.zeros((B, HW, C), jnp.float32),
+                         (idx, upd))
+    return dx.reshape(B, H, W, C)
 
 
 @jax.custom_vjp
