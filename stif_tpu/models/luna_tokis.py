@@ -35,7 +35,7 @@ TPU-first design decisions (vs. the reference):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

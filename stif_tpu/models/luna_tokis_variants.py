@@ -21,7 +21,6 @@ PCD -> bidirectional deformable ConvLSTM -> recon trunk), expressed once via
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax.numpy as jnp
 import flax.linen as nn

@@ -12,7 +12,6 @@ Selected via ``which_model_G: TMNet`` in the reference's network factory
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +21,6 @@ from stif_tpu.models.registry import register_model
 from stif_tpu.nn.blocks import Conv, ResidualTrunk, lrelu
 from stif_tpu.nn.convlstm import BiDeformableConvLSTM
 from stif_tpu.nn.dcn import DCNSep
-from stif_tpu.nn.pcd import PCDAlign
 from stif_tpu.ops.pixel_shuffle import pixel_shuffle
 
 

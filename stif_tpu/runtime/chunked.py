@@ -18,7 +18,7 @@ only embarrassingly-parallel query dimensions).
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ bucket. A long video becomes a stream of identical-shape programs.
 from __future__ import annotations
 
 import math
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -14,7 +14,7 @@ wrapper, no process groups, no samplers.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ function of the step (exact resume for free).
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np

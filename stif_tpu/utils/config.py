@@ -8,7 +8,6 @@ derivation, per-dataset scale propagation, and ``check_resume`` rewiring.
 from __future__ import annotations
 
 import os
-from typing import Optional
 
 import yaml
 
