@@ -26,9 +26,24 @@ WARMUP = 2
 ITERS = 5
 
 
+def _enable_compile_cache():
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+
 def bench_tpu():
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from stif_tpu.models import LunaTokis
 
