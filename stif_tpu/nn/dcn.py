@@ -23,6 +23,7 @@ class DCNSep(nn.Module):
     padding: int = 1
     dilation: int = 1
     deformable_groups: int = 8
+    gather_dtype: object = None  # e.g. jnp.bfloat16: faster, lossier gathers
 
     @nn.compact
     def __call__(self, x, fea):
@@ -48,4 +49,5 @@ class DCNSep(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return deform_conv2d(x, offset, mask, weight, bias,
                              stride=self.stride, padding=self.padding,
-                             dilation=self.dilation)
+                             dilation=self.dilation,
+                             gather_dtype=self.gather_dtype)

@@ -164,7 +164,7 @@ def _gpg_bwd(res, ct):
 _grouped_patch_gather.defvjp(_gpg_fwd, _gpg_bwd)
 
 
-def _dcn_patch_gather(x, py, px, mask, weight, bias, G):
+def _dcn_patch_gather(x, py, px, mask, weight, bias, G, gather_dtype=None):
     """Patch-gather DCN core: one fused (2, 2, CpG) gather per (query, group,
     tap) instead of four corner gathers — the per-index-bound TPU gather does
     ~2.4x better on big contiguous slices (see ops/gather_utils.py).
@@ -182,13 +182,16 @@ def _dcn_patch_gather(x, py, px, mask, weight, bias, G):
     f32 = jnp.float32
 
     sy, sx, w = patch_weights(py, px, H, W, "zeros")  # (B,Q,G,K[,2,2])
-    xg = x.astype(f32).reshape(B, H, W, G, CpG)
+    # optional reduced-precision gather source: bf16 halves the gather bytes
+    # (1.5x faster on v5e); default fp32 preserves bit-parity
+    src_dtype = gather_dtype or f32
+    xg = x.astype(src_dtype).reshape(B, H, W, G, CpG)
     # one gather per (q, g, k): start = (y, x, g), slice (1, 2, 2, 1, CpG);
     # custom VJP — the x-cotangent uses a one-hot MXU contraction instead of
     # XLA's serial scatter-add
     patches = _grouped_patch_gather(xg, sy, sx)  # (B, Q, G, K, 2, 2, CpG)
     wm = (w * mask.astype(f32)[..., None, None]).astype(f32)
-    col = jnp.einsum("bqgkijc,bqgkij->bqkgc", patches, wm)
+    col = jnp.einsum("bqgkijc,bqgkij->bqkgc", patches.astype(f32), wm)
     wr = weight.astype(f32).reshape(K, G, CpG, Cout)
     out = jnp.einsum("bqkgc,kgco->bqo", col, wr, preferred_element_type=f32)
     if bias is not None:
@@ -206,6 +209,7 @@ def deform_conv2d(
     padding: IntPair = 1,
     dilation: IntPair = 1,
     impl: str = "auto",
+    gather_dtype=None,
 ):
     """Modulated deformable conv, channels-last.
 
@@ -243,7 +247,8 @@ def deform_conv2d(
 
     if impl in ("auto", "patch"):
         m = mask.astype(f32).reshape(B, Q, G, K)
-        out = _dcn_patch_gather(x, py, px, m, weight, bias, G)
+        out = _dcn_patch_gather(x, py, px, m, weight, bias, G,
+                                gather_dtype=gather_dtype)
         return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
 
     y0 = jnp.floor(py)

@@ -180,3 +180,19 @@ class TestChunkedDecoder:
         dec = ChunkedDecoder(model, params, chunk_size=256)
         got = dec.decode(feat, x, times, (32, 32), hr_inp_upsample=True)
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+class TestTMNetPipeline:
+    def test_render_window_tmnet(self, rng):
+        from stif_tpu.models import TMNet
+        from stif_tpu.runtime import InferencePipeline
+
+        model = TMNet(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        x = jnp.zeros((1, 2, 8, 8, 3))
+        t = jnp.asarray([[0.25, 0.75]])
+        params = model.init(jax.random.PRNGKey(0), x, t)
+        pipe = InferencePipeline(model, params, bucket=4)
+        frames = rng.random((2, 10, 14, 3)).astype(np.float32)
+        out = pipe.render_window_tmnet(frames, [0.25, 0.75])
+        # T = 1 + t_N + 1 = 4 outputs at fixed x4
+        assert out.shape == (4, 40, 56, 3)
