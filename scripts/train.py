@@ -78,15 +78,14 @@ def main():
 
     model = VideoSRModel(opt, parallel=args.parallel)
 
-    # init from the first batch's shapes
+    # init from the first batch's shapes; the first batch is trained on too
+    # (itertools.chain puts it back in front of its epoch)
+    import itertools
+
     it = loader.epoch(0)
     first = next(it)
-    from stif_tpu.train.video_sr_model import from_torch_batch  # noqa: F401
-
-    times = first["times"]
-    if times.ndim > 1:
-        times = times[0]
-    model.init_params(first["LQs"], times.reshape(-1))
+    it = itertools.chain([first], it)
+    model.init_params(first["LQs"], first["times"])
     start = 0
     if args.resume:
         start = model.resume_training()
@@ -100,12 +99,10 @@ def main():
     epoch = 0
     t0 = time.time()
     while step < niter:
-        for batch in (it if epoch == 0 else loader.epoch(epoch)):
-            bt = batch["times"]
-            if hasattr(bt, "ndim") and getattr(bt, "ndim", 1) > 1:
-                bt = bt[0]
+        for batch in it:
+            # times pass through at full (B, nt) — per-sample pe conditioning
             model.feed_data({"LQs": batch["LQs"], "GT": batch["GT"],
-                             "times": np.asarray(bt).reshape(-1)})
+                             "times": np.asarray(batch["times"])})
             logs = model.optimize_parameters(step)
             step += 1
             if step % print_freq == 0:
@@ -119,7 +116,7 @@ def main():
             if step >= niter:
                 break
         epoch += 1
-        it = None
+        it = loader.epoch(epoch)
 
     if model.ckpt:
         model.save()

@@ -28,9 +28,9 @@ def collate_fixed(samples):
             out[k] = [s[k] for s in samples]
         else:
             out[k] = np.stack([s[k] for s in samples])
-    # times are identical across the batch for fixed datasets; model takes (nt,)
-    if out.get("times") is not None and out["times"].ndim == 2:
-        out["times"] = out["times"][0]
+    # times stay per-sample (B, nt): Adobe draws a random time per sample and
+    # the model conditions pe per batch element (Sakuya_arch.py:396). For
+    # Vimeo7 the rows are identical — the broadcast is equivalent to (nt,).
     return out
 
 
@@ -39,10 +39,10 @@ def collate_arbitrary_scale(samples, lq_size: int = 64,
                             rng: random.Random = random):
     """samples: list of AdobeArbitraryDataset items (raw uint8 BGR).
 
-    Returns {'LQs': (B, 2, h, w, 3), 'GT': (B, 3, H, W, 3), 'times': (3,)}
-    RGB float32. Note: like the reference, the 3 sampled times differ per
-    sample but the *batch* shares one crop/scale; times come back per-sample
-    as (B, 3) — the trainer uses per-sample time conditioning.
+    Returns {'LQs': (B, 2, h, w, 3), 'GT': (B, 3, H, W, 3), 'times': (B, 3)}
+    RGB float32. Like the reference, the 3 sampled times differ per sample
+    while the *batch* shares one crop/scale; the (B, 3) times flow through the
+    trainer into per-sample pe conditioning (Sakuya_arch.py:396).
     """
     from stif_tpu.data.transforms import augment_stack
     from stif_tpu.ops.resize import imresize

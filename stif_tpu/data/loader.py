@@ -81,15 +81,29 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put_checked(item) -> bool:
+            # bounded put that re-checks stop: if the consumer abandons the
+            # generator, the queue stays full and a bare q.put() would block
+            # this thread forever (leaking it and its batches)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def worker():
             try:
                 for batch_idx in batches:
                     if stop.is_set():
                         break
                     samples = [self.dataset[int(i)] for i in batch_idx]
-                    q.put(self.collate(samples))
+                    if not put_checked(self.collate(samples)):
+                        return
             finally:
-                q.put(None)
+                if not put_checked(None):
+                    pass  # consumer gone; nothing is waiting on the sentinel
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

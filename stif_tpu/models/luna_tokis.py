@@ -55,6 +55,19 @@ from stif_tpu.ops.warp import warp_grid
 _EPS = 1e-6
 
 
+def _times_nb(times, B: int, dtype) -> jnp.ndarray:
+    """Normalize query times to (nt, B).
+
+    ``times`` is either (nt,) — one time grid shared across the batch — or
+    (B, nt) — per-sample query times, the reference's training semantics
+    (``Sakuya_arch.py:396``: ``pe_coord = ones * times[c].unsqueeze(2)`` with
+    ``times[c]`` shaped (B, 1))."""
+    times = jnp.asarray(times, dtype=dtype)
+    if times.ndim == 2:
+        return times.T
+    return jnp.broadcast_to(times.reshape(-1)[:, None], (times.size, B))
+
+
 @register_model("LunaTokis")
 class LunaTokis(nn.Module):
     nf: int = 64
@@ -174,8 +187,8 @@ class LunaTokis(nn.Module):
             q_inp_b = grid_sample(hr_inp, coord_xy, mode="bilinear")
             q_feat0_b = grid_sample(feat, coord_xy, mode="bilinear")
 
-        times = jnp.asarray(times, dtype=base_a.dtype).reshape(-1)
-        nt = times.shape[0]
+        t_nb = _times_nb(times, B, base_a.dtype)  # (nt, B)
+        nt = t_nb.shape[0]
         Q = HH * WW
 
         def tile_t(v):  # (B, ...) -> (nt*B, ...)
@@ -184,7 +197,7 @@ class LunaTokis(nn.Module):
             )
 
         pe = jnp.broadcast_to(
-            times[:, None, None, None], (nt, B, Q, 1)
+            t_nb[:, :, None, None], (nt, B, Q, 1)
         ).reshape(nt * B, Q, 1)
 
         # stage A: HR feature field
@@ -250,7 +263,7 @@ class LunaTokis(nn.Module):
         self,
         feat_t,                      # (B, T, H, W, nf) from gen_feat
         inp,                         # (B, N, H, W, 3) model input
-        times,                       # (nt,) query times in [0, 1]
+        times,                       # (nt,) or per-sample (B, nt) times in [0,1]
         out_size: Tuple[int, int] = None,   # (HH, WW); default (4H, 4W)
         hr_inp_upsample: bool = False,      # decoding_test upsamples inp x4
         local_ensemble: bool = False,       # decoding_localensemble (:962-1085)
@@ -342,15 +355,15 @@ class LunaTokis(nn.Module):
         q_inp_b = grid_sample(hr_inp, cxy, mode="bilinear")
         q_feat0_b = grid_sample(feat, cxy, mode="bilinear")
 
-        times = jnp.asarray(times, jnp.float32).reshape(-1)
-        nt = times.shape[0]
+        t_nb = _times_nb(times, B, jnp.float32)
+        nt = t_nb.shape[0]
         Cq = coord_chunk.shape[1]
 
         def tile_t(v):
             return jnp.broadcast_to(v[None], (nt,) + v.shape).reshape(
                 (nt * v.shape[0],) + v.shape[1:])
 
-        pe = jnp.broadcast_to(times[:, None, None, None],
+        pe = jnp.broadcast_to(t_nb[:, :, None, None],
                               (nt, B, Cq, 1)).reshape(nt * B, Cq, 1)
         hrfeat = self.feat_imnet((tile_t(base_a), pe))
         # stage-B nearest resample of the HR field at its own cell centers is
@@ -389,8 +402,8 @@ class LunaTokis(nn.Module):
         q_feat2 = grid_sample(hrfeat_full, g2, mode="bilinear")
         q_img2 = grid_sample(hr_inp_tl, g2, mode="bilinear")
         q_feat4 = grid_sample(feat_tl, g2, mode="bilinear")
-        times = jnp.asarray(times, jnp.float32).reshape(-1)
-        pe = jnp.broadcast_to(times[:, None, None, None],
+        t_nb = _times_nb(times, B, jnp.float32)
+        pe = jnp.broadcast_to(t_nb[:, :, None, None],
                               (nt, B, Cq, 1)).reshape(ntB, Cq, 1)
         rgb = self.encode_imnet(
             (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe))
@@ -422,7 +435,8 @@ class LunaTokis(nn.Module):
 
     def __call__(self, x, times, out_size=None, test: bool = False,
                  local_ensemble: bool = False):
-        """Full forward: (B, N, H, W, 3), times (nt,) -> (nt, B, HH, WW, 3)."""
+        """Full forward: (B, N, H, W, 3), times (nt,) or (B, nt)
+        -> (nt, B, HH, WW, 3)."""
         feat = self.gen_feat(x)
         return self.decode(
             feat, x, times, out_size=out_size, hr_inp_upsample=test,

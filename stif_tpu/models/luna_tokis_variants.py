@@ -25,6 +25,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 import flax.linen as nn
 
+from stif_tpu.models.luna_tokis import _times_nb
 from stif_tpu.models.registry import register_model
 from stif_tpu.nn.blocks import Conv, ResidualTrunk, lrelu
 from stif_tpu.nn.convlstm import BiDeformableConvLSTM
@@ -156,15 +157,15 @@ class LunaTokisTrain(nn.Module):
         q_coord = grid_sample(feat_coord, cxy, mode="nearest")
         rel = (coord - q_coord) * jnp.asarray([H, W], coord.dtype)
 
-        times = jnp.asarray(times, jnp.float32).reshape(-1)
-        nt = times.shape[0]
+        t_nb = _times_nb(times, B, jnp.float32)  # (nt, B)
+        nt = t_nb.shape[0]
 
         def tile_t(v):
             return jnp.broadcast_to(v[None], (nt,) + v.shape).reshape(
                 (nt * v.shape[0],) + v.shape[1:]
             )
 
-        pe = jnp.broadcast_to(times[:, None, None, None],
+        pe = jnp.broadcast_to(t_nb[:, :, None, None],
                               (nt, B, Q, 1)).reshape(nt * B, Q, 1)
 
         # stage A (no time code): 192 + 6 + 2 = 200 -> 128
@@ -254,14 +255,14 @@ class LunaTokisS(nn.Module):
         q_coord = grid_sample(feat_coord, cxy, mode="nearest")
         rel = (coord - q_coord) * jnp.asarray([H, W], coord.dtype)
 
-        times = jnp.asarray(times, jnp.float32).reshape(-1)
-        nt = times.shape[0]
+        t_nb = _times_nb(times, B, jnp.float32)  # (nt, B)
+        nt = t_nb.shape[0]
 
         def tile_t(v):
             return jnp.broadcast_to(v[None], (nt,) + v.shape).reshape(
                 (nt * v.shape[0],) + v.shape[1:])
 
-        pe = jnp.broadcast_to(times[:, None, None, None],
+        pe = jnp.broadcast_to(t_nb[:, :, None, None],
                               (nt, B, Q, 1)).reshape(nt * B, Q, 1)
         flow_q = self.flow_imnet(
             (tile_t(jnp.concatenate([q_feat, q_inp, rel], axis=-1)), pe))
@@ -321,10 +322,10 @@ class LunaTokisNoFlow(nn.Module):
         q_coord = grid_sample(feat_coord, cxy, mode="nearest")
         rel = (coord - q_coord) * jnp.asarray([H, W], coord.dtype)
 
-        times = jnp.asarray(times, jnp.float32).reshape(-1)
-        nt = times.shape[0]
+        t_nb = _times_nb(times, B, jnp.float32)  # (nt, B)
+        nt = t_nb.shape[0]
         base = jnp.concatenate([q_feat, q_inp, rel], axis=-1)
         base = jnp.broadcast_to(base[None], (nt,) + base.shape)
-        pe = jnp.broadcast_to(times[:, None, None, None], (nt, B, Q, 1))
+        pe = jnp.broadcast_to(t_nb[:, :, None, None], (nt, B, Q, 1))
         rgb = self.encode_imnet(jnp.concatenate([base, pe], axis=-1))
         return rgb.reshape(nt, B, HH, WW, 3)

@@ -16,9 +16,10 @@ differentiable jnp ops (gathers lower to scatter-add on the backward pass),
 ``jax.grad`` reproduces the reference's hand-written backward semantics
 (``dcn_v2_im2col_cuda.cu:56-123``) with no custom VJP.
 
-A fused Pallas kernel for the hot path lives in
-``stif_tpu.ops.deform_conv_pallas``; this module is the semantic reference and
-the fallback for CPU tests.
+No fused Pallas kernel exists for this op: Mosaic's in-kernel gather support
+cannot express the per-query dynamic patch reads (measured round 1 — see
+ROUND_NOTES.md "dead ends"), and the XLA graph here already keeps the
+contraction on the MXU with the gathers as the bound resource.
 """
 
 from __future__ import annotations

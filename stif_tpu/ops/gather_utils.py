@@ -51,8 +51,10 @@ def patch_weights(iy, ix, H: int, W: int, padding_mode: str = "zeros"):
     wx0 = jnp.where(vx0, 1.0 - lx, 0.0)
     wx1 = jnp.where(vx1, lx, 0.0)
 
-    sy = jnp.clip(y0i, 0, H - 2)
-    sx = jnp.clip(x0i, 0, W - 2)
+    # max(..., 0) guards degenerate H==1 / W==1 sources (clip hi < lo would
+    # produce start -1); the patch gather pads such sources to 2 pixels
+    sy = jnp.clip(y0i, 0, max(H - 2, 0))
+    sx = jnp.clip(x0i, 0, max(W - 2, 0))
     # in-patch row/col of each corner (0 or 1), after clamping the start
     py0 = jnp.clip(y0i - sy, 0, 1)
     py1 = jnp.clip(y1i - sy, 0, 1)
@@ -188,6 +190,12 @@ def bilinear_gather(x, iy, ix, padding_mode: str = "zeros"):
     in pixel units. Returns (B, Q, C)."""
     B, H, W, C = x.shape
     sy, sx, w = patch_weights(iy, ix, H, W, padding_mode)
+    if H < 2 or W < 2:
+        # degenerate sources: pad to 2 pixels so the 2x2 patch slice fits.
+        # Corner weights beyond the REAL bounds are already zero (computed
+        # above with the unpadded H, W), so the padded values never leak.
+        x = jnp.pad(x, ((0, 0), (0, max(0, 2 - H)), (0, max(0, 2 - W)),
+                        (0, 0)))
     patches = gather_patches_2x2(x, sy, sx)  # (B, Q, 2, 2, C)
     return jnp.einsum("bqijc,bqij->bqc", patches,
                       w.astype(patches.dtype))

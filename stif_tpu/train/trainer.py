@@ -76,7 +76,9 @@ def make_train_step(model, tx, cfg: TrainConfig):
     batch: dict with
       ``lqs``   (B, N, H, W, 3) LR input frames
       ``gt``    (B, nt, HH, WW, 3) ground-truth frames
-      ``times`` (nt,) query times.
+      ``times`` (nt,) shared or (B, nt) per-sample query times —
+                ``gt[b, t]`` is the frame at ``times[b, t]`` (the reference's
+                per-sample pe conditioning, ``Sakuya_arch.py:396``).
     """
     criterion = make_pixel_criterion(cfg.pixel_criterion)
 
@@ -103,16 +105,19 @@ def make_train_step(model, tx, cfg: TrainConfig):
     return train_step
 
 
-def make_parallel_train_step(model, tx, cfg: TrainConfig, mesh: Mesh):
+def make_parallel_train_step(model, tx, cfg: TrainConfig, mesh: Mesh,
+                             per_sample_times: bool = False):
     """Data-parallel train step: state replicated, batch sharded on 'data'.
-    XLA emits the gradient all-reduce (the DDP equivalent) over ICI."""
+    XLA emits the gradient all-reduce (the DDP equivalent) over ICI.
+    ``per_sample_times``: times are (B, nt) and shard with the batch."""
     step_fn = make_train_step(model, tx, cfg)
     repl = NamedSharding(mesh, P())
     batch_shard = NamedSharding(mesh, P("data"))
+    times_shard = batch_shard if per_sample_times else repl
     return jax.jit(
         step_fn,
         in_shardings=(repl, {"lqs": batch_shard, "gt": batch_shard,
-                             "times": repl}),
+                             "times": times_shard}),
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )

@@ -81,8 +81,9 @@ class VideoSRModel:
         self.state, self.tx = create_train_state(params, self.cfg)
         if self.parallel:
             mesh = default_mesh()
-            self._step_fn = make_parallel_train_step(self.net, self.tx,
-                                                     self.cfg, mesh)
+            self._step_fn = make_parallel_train_step(
+                self.net, self.tx, self.cfg, mesh,
+                per_sample_times=t.ndim == 2)
         else:
             self._step_fn = jax.jit(make_train_step(self.net, self.tx,
                                                     self.cfg))
@@ -91,13 +92,17 @@ class VideoSRModel:
     # ------------------------------------------------------------- training
 
     def feed_data(self, data: dict):
-        """data: {'LQs': (B,N,h,w,3), 'GT': (B,nt,H,W,3), 'times': (nt,)}
+        """data: {'LQs': (B,N,h,w,3), 'GT': (B,nt,H,W,3),
+        'times': (nt,) shared or (B,nt) per-sample}
         (NHWC; the reference's NCHW batches convert via ``from_torch_batch``).
         """
+        times = jnp.asarray(data["times"])
+        if times.ndim > 2:
+            times = times.reshape(times.shape[0], -1)
         self._batch = {
             "lqs": jnp.asarray(data["LQs"]),
             "gt": jnp.asarray(data["GT"]),
-            "times": jnp.asarray(data["times"]).reshape(-1),
+            "times": times,
         }
 
     def optimize_parameters(self, step: Optional[int] = None):
@@ -155,5 +160,7 @@ def from_torch_batch(batch: dict) -> dict:
     }
     t = batch.get("time", batch.get("times"))
     t = np.asarray(t)
-    out["times"] = t.reshape(-1) if t.ndim <= 1 else t[0].reshape(-1)
+    # the reference's 'time' is a list of nt tensors each (B,) — asarray gives
+    # (nt, B); transpose to the trainer's per-sample (B, nt) layout
+    out["times"] = t.reshape(-1) if t.ndim <= 1 else t.T
     return out

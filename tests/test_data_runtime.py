@@ -64,7 +64,9 @@ class TestVimeo7:
         assert s["times"].shape == (7,)
         batch = collate_fixed([ds[0], ds[1]])
         assert batch["GT"].shape == (2, 7, 16, 16, 3)
-        assert batch["times"].shape == (7,)
+        # per-sample (B, nt) layout; Vimeo7 rows are identical
+        assert batch["times"].shape == (2, 7)
+        np.testing.assert_array_equal(batch["times"][0], batch["times"][1])
 
 
 class TestAdobe:
@@ -127,6 +129,7 @@ class TestRuntime:
         ]
         assert window_plan(True, 3, 5) == [[[0, 2], [0, 1, 2]], [[2, 4], [2, 3, 4]]]
 
+    @pytest.mark.slow
     def test_pipeline_render(self):
         from stif_tpu.models import LunaTokis
 
@@ -147,6 +150,7 @@ class TestRuntime:
 
 
 class TestChunkedDecoder:
+    @pytest.mark.slow
     def test_matches_direct_decode(self, rng):
         from stif_tpu.models import LunaTokis
         from stif_tpu.runtime.chunked import ChunkedDecoder
@@ -164,6 +168,7 @@ class TestChunkedDecoder:
         got = dec.decode(feat, x, times, (32, 48))
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    @pytest.mark.slow
     def test_test_mode_variant(self, rng):
         from stif_tpu.models import LunaTokis
         from stif_tpu.runtime.chunked import ChunkedDecoder
@@ -183,6 +188,7 @@ class TestChunkedDecoder:
 
 
 class TestTMNetPipeline:
+    @pytest.mark.slow
     def test_render_window_tmnet(self, rng):
         from stif_tpu.models import TMNet
         from stif_tpu.runtime import InferencePipeline

@@ -81,6 +81,39 @@ class TestFullParity:
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=5e-5)
 
+    def test_per_sample_times(self, pair, rng):
+        """(B, nt) per-sample time conditioning matches the reference
+        semantics (``Sakuya_arch.py:396``: pe broadcast from times[c] (B,1))
+        — the mirror receives each time as a (B, 1, 1) tensor."""
+        model, params, mirror = pair
+        B = 2
+        x = _rand_clip(rng, b=B)
+        times_np = np.asarray([[0.1, 0.9], [0.6, 0.3]], np.float32)  # (B, nt)
+        with torch.no_grad():
+            want = mirror(
+                torch.from_numpy(x),
+                [torch.from_numpy(times_np[:, c]).view(B, 1, 1)
+                 for c in range(times_np.shape[1])],
+            )
+            want = np.stack([w.numpy() for w in want])  # (nt, B, 3, HH, WW)
+        got = model.apply(
+            params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(times_np),
+        )
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+        # and each sample must differ from a batch-shared decode at row 0
+        shared = model.apply(
+            params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(times_np[0]),
+        )
+        shared = np.asarray(shared).transpose(0, 1, 4, 2, 3)
+        np.testing.assert_allclose(got[:, 0], shared[:, 0], atol=5e-5)
+        # random-init models are only weakly time-sensitive; 5e-4 >> the 5e-5
+        # numerical tolerance is enough to prove row 1's times were used
+        assert np.abs(got[:, 1] - shared[:, 1]).max() > 5e-4
+
     def test_legacy_pixelshuffle_head(self, pair, rng):
         model, params, mirror = pair
         x = _rand_clip(rng)

@@ -282,3 +282,36 @@ class TestPixelShuffleFold:
         x = patches.transpose(0, 2, 1).reshape(B, H, W, C * 9)
         got = np.asarray(fold3x3(jnp.asarray(x))).transpose(0, 3, 1, 2)
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestDegenerateGather:
+    """H==1 / W==1 sources: the 2x2 patch gather pads instead of emitting an
+    invalid slice (gather_utils.patch_weights clamp guard)."""
+
+    @pytest.mark.parametrize("shape", [(1, 1, 7, 2), (1, 5, 1, 3), (1, 1, 1, 2)])
+    def test_bilinear_gather_tiny_sources(self, rng, shape):
+        from stif_tpu.ops.gather_utils import bilinear_gather
+
+        x = rng.random(shape).astype(np.float32)
+        B, H, W, C = shape
+        iy = jnp.asarray(rng.uniform(-1, H, (B, 6)).astype(np.float32))
+        ix = jnp.asarray(rng.uniform(-1, W, (B, 6)).astype(np.float32))
+        got = np.asarray(bilinear_gather(jnp.asarray(x), iy, ix))
+
+        # oracle: zero-padded bilinear, direct numpy
+        def sample(b, y, x_):
+            y0, x0 = int(np.floor(y)), int(np.floor(x_))
+            ly, lx = y - y0, x_ - x0
+            out = np.zeros(C, np.float32)
+            for dy, wy in ((0, 1 - ly), (1, ly)):
+                for dx, wx in ((0, 1 - lx), (1, lx)):
+                    yy, xx = y0 + dy, x0 + dx
+                    if 0 <= yy < H and 0 <= xx < W:
+                        out += wy * wx * x[b, yy, xx]
+            return out
+
+        want = np.stack([
+            np.stack([sample(b, float(iy[b, q]), float(ix[b, q]))
+                      for q in range(6)]) for b in range(B)
+        ])
+        np.testing.assert_allclose(got, want, atol=1e-6)

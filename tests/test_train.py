@@ -145,3 +145,29 @@ class TestTrainStep:
             losses.append(float(metrics["loss"]))
         assert losses[-1] < losses[0]
         assert int(state.step) == 5
+
+    def test_per_sample_times_supervision(self):
+        """(B, nt) times: each sample's loss must depend on its OWN times —
+        the reference semantics (Sakuya_arch.py:396 + feed_data's per-sample
+        time list). Gradient flow to times' pe path must differ between
+        per-sample and row-0-truncated batches."""
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.train.trainer import (
+            TrainConfig, create_train_state, make_train_step,
+        )
+
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.random((2, 2, 8, 8, 3)), jnp.float32)
+        gt = jnp.asarray(rng.random((2, 2, 32, 32, 3)), jnp.float32)
+        times_ps = jnp.asarray([[0.0, 0.5], [0.9, 0.2]])  # (B, nt) distinct
+        params = model.init(jax.random.PRNGKey(0), x, times_ps,
+                            method=model.full_init)
+        cfg = TrainConfig(lr=1e-3, warmup_iter=-1)
+        state, tx = create_train_state(params, cfg)
+        step = jax.jit(make_train_step(model, tx, cfg))
+        _, m_ps = step(state, {"lqs": x, "gt": gt, "times": times_ps})
+        _, m_row0 = step(state, {"lqs": x, "gt": gt, "times": times_ps[0]})
+        assert np.isfinite(m_ps["loss"])
+        # distinct per-sample times change the loss vs truncating to row 0
+        assert abs(float(m_ps["loss"]) - float(m_row0["loss"])) > 1e-6

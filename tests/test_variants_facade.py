@@ -97,6 +97,7 @@ class TestFactory:
 
 
 class TestFacade:
+    @pytest.mark.slow
     def test_train_and_checkpoint_roundtrip(self, rng, tmp_path):
         from stif_tpu.train.video_sr_model import VideoSRModel
 
@@ -137,9 +138,14 @@ class TestFacade:
         batch = {
             "LQs": rng.random((2, 2, 3, 8, 8)).astype(np.float32),
             "GT": rng.random((2, 3, 3, 32, 32)).astype(np.float32),
-            "time": np.asarray([[0.0, 0.5, 1.0], [0.0, 0.5, 1.0]]),
+            # reference layout: list of nt tensors, each (B,)
+            # (collate_function2, codes/data/__init__.py:153)
+            "time": [np.asarray([0.0, 0.1]), np.asarray([0.5, 0.6]),
+                     np.asarray([1.0, 0.9])],
         }
         out = from_torch_batch(batch)
         assert out["LQs"].shape == (2, 2, 8, 8, 3)
         assert out["GT"].shape == (2, 3, 32, 32, 3)
-        assert out["times"].shape == (3,)
+        # per-sample (B, nt): row b holds sample b's query times
+        np.testing.assert_array_equal(
+            out["times"], [[0.0, 0.5, 1.0], [0.1, 0.6, 0.9]])
