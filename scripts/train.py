@@ -30,7 +30,24 @@ def main():
     ap.add_argument("--parallel", action="store_true",
                     help="shard the batch over all devices (data parallel)")
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. cpu); must be set before "
+                         "backend init — the axon TPU plugin force-appends "
+                         "itself to jax_platforms otherwise")
     args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    try:  # persistent compile cache (full-model train step compiles ~2-3 min)
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
 
     from stif_tpu.utils.config import parse_options
     from stif_tpu.data import (
@@ -44,6 +61,16 @@ def main():
     log = logging.getLogger("base")
 
     opt = parse_options(args.opt, is_train=True)
+    # also log to a file next to the checkpoints (stdout can be swallowed
+    # when running detached under the TPU tunnel)
+    models_dir = (opt.get("path") or {}).get("models")
+    if models_dir:
+        os.makedirs(models_dir, exist_ok=True)
+        fh = logging.FileHandler(os.path.join(models_dir, "train.log"))
+        fh.setFormatter(logging.Formatter(
+            "%(asctime)s %(levelname)s %(message)s"))
+        log.addHandler(fh)
+        log.setLevel(logging.INFO)
     niter = args.steps or int(opt["train"]["niter"])
 
     dopt = opt["datasets"]["train"]
@@ -67,6 +94,16 @@ def main():
             samples, lq_size=int(dopt.get("LQ_size", 64)),
             scale_buckets=dopt.get("scale_buckets"),
         )
+    elif mode == "Synthetic":
+        ds = create_dataset(
+            "Synthetic",
+            n_items=int(dopt.get("n_items", 20000)),
+            gt_size=int(dopt.get("GT_size", 192)),
+            scale=int(opt.get("scale", 4)),
+            nt=int(dopt.get("nt", 3)),
+            seed=int(dopt.get("seed", 0)),
+        )
+        collate = collate_fixed
     else:
         raise NotImplementedError(mode)
 

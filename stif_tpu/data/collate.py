@@ -44,8 +44,8 @@ def collate_arbitrary_scale(samples, lq_size: int = 64,
     while the *batch* shares one crop/scale; the (B, 3) times flow through the
     trainer into per-sample pe conditioning (Sakuya_arch.py:396).
     """
+    from stif_tpu.data.native import host_imresize
     from stif_tpu.data.transforms import augment_stack
-    from stif_tpu.ops.resize import imresize
 
     if scale_buckets:
         d = rng.choice(list(scale_buckets))
@@ -80,8 +80,8 @@ def collate_arbitrary_scale(samples, lq_size: int = 64,
         lqs = resize_stack(lq_crops, 1.0 / (2 * d))
         gts = resize_stack(gt_crops, 0.5)
     else:
-        lqs = np.array(imresize(lq_crops.astype(np.float32), 1.0 / (2 * d)))
-        gts = np.array(imresize(gt_crops.astype(np.float32), 0.5))
+        lqs = host_imresize(lq_crops.astype(np.float32), 1.0 / (2 * d))
+        gts = host_imresize(gt_crops.astype(np.float32), 0.5)
     lqs /= 255.0
     gts /= 255.0
 

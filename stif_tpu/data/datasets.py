@@ -171,8 +171,8 @@ class AdobeDataset:
         return len(self.file_list)
 
     def __getitem__(self, index: int):
+        from stif_tpu.data.native import host_imresize
         from stif_tpu.data.transforms import augment_stack
-        from stif_tpu.ops.resize import imresize
 
         gt_idx = self.rng.randint(0, 8)
         in_paths = [osp.join(self.gt_root, p) for p in self.file_list[index]]
@@ -189,7 +189,7 @@ class AdobeDataset:
         rw = self.rng.randint(0, max(0, gw - g))
         img_gt = img_gt[rh:rh + g, rw:rw + g]
         crops_in = [im[rh:rh + g, rw:rw + g] for im in imgs_in]
-        lqs = [np.asarray(imresize(c, 1.0 / s)) for c in crops_in]
+        lqs = [host_imresize(c, 1.0 / s) for c in crops_in]
         if self.phase == "train":
             stack = augment_stack(lqs + [img_gt], self.use_flip, self.use_rot,
                                   self.rng)
@@ -244,4 +244,8 @@ def create_dataset(mode: str, **kwargs):
         return AdobeDataset(**kwargs)
     if mode == "Adobe_a":
         return AdobeArbitraryDataset(**kwargs)
+    if mode == "Synthetic":
+        from stif_tpu.data.synthetic import SyntheticVideoDataset
+
+        return SyntheticVideoDataset(**kwargs)
     raise NotImplementedError(f"Dataset [{mode}] is not recognized.")

@@ -92,3 +92,19 @@ def degrade_u8(img: np.ndarray, y0: int, x0: int, crop: int,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return out
+
+
+def host_imresize(img: np.ndarray, scale: float) -> np.ndarray:
+    """MATLAB bicubic on the HOST: native C++ (OpenMP) when built, pure-NumPy
+    fallback otherwise. Accepts (..., H, W, C); never touches the accelerator
+    (data workers and eval harnesses must not trigger XLA compiles)."""
+    from stif_tpu.ops.resize import imresize_np
+
+    img = np.asarray(img, np.float32)
+    if _load() is None:
+        return imresize_np(img, scale)
+    if img.ndim == 3:
+        return imresize_native(img, scale)
+    flat = img.reshape((-1,) + img.shape[-3:])
+    outs = [imresize_native(f, scale) for f in flat]
+    return np.stack(outs).reshape(img.shape[:-3] + outs[0].shape)

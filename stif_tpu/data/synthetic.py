@@ -1,0 +1,182 @@
+"""Procedural video — an infinite, deterministic training/eval source.
+
+The reference trains on external datasets (Vimeo-90K septuplets, Adobe240fps
+— ``codes/data/Vimeo7_dataset.py``, ``Adobe_arbitrary.py``) that are not
+shipped with the code. This backend generates *band-limited analytic scenes*
+whose frames can be evaluated at exact subpixel positions for any continuous
+time — ideal supervision for a continuous space-time SR model:
+
+  * background: a sum of oriented sinusoids (wavelengths spanning the
+    LR-Nyquist boundary, so x4 SR has genuine detail to recover) under a
+    global affine motion (translation + slight rotation/zoom);
+  * foreground: soft-edged moving blobs carrying their own texture and
+    velocity — occlusion boundaries and multiple motions for the flow stage;
+  * everything analytic in (y, x, t): no resampling artifacts in GT, exact
+    subpixel displacement between frames.
+
+Sample schema matches ``AdobeDataset``/``AdobeArbitraryDataset``
+(``stif_tpu.data.datasets``): LR input pair = MATLAB-bicubic 1/scale of the
+window's endpoint frames, GT at ``nt`` random of the 9 window times, times
+in [0, 1] within the pair (the reference's x8-temporal convention,
+``Adobe_dataset.py:189-196``). Deterministic per (seed, index).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def sample_scene(rng: np.random.Generator, canvas: Tuple[int, int] = (360, 480),
+                 n_bg: int = 10, n_fg: int = 3, max_speed: float = 3.0) -> dict:
+    """Draw scene parameters. Speeds are HR pixels per frame step."""
+    H, W = canvas
+    # background sinusoids: wavelengths log-uniform in [6, 96] px — the x4 LR
+    # grid's Nyquist wavelength is 8 px, so part of the band is only
+    # recoverable by SR, part survives downsampling (anchors registration)
+    lam = np.exp(rng.uniform(np.log(6.0), np.log(96.0), n_bg))
+    theta = rng.uniform(0, np.pi, n_bg)
+    freq = np.stack([np.sin(theta), np.cos(theta)], -1) / lam[:, None]  # (K,2)
+    phase = rng.uniform(0, 2 * np.pi, n_bg)
+    amp = rng.normal(0, 1, (n_bg, 3)).astype(np.float32)
+    amp *= 0.38 / np.abs(amp).sum(0, keepdims=True).clip(1e-6)
+    n_fg = int(rng.integers(max(1, n_fg - 1), n_fg + 2))
+    return {
+        "canvas": canvas,
+        "bg_freq": freq.astype(np.float32),
+        "bg_phase": phase.astype(np.float32),
+        "bg_amp": amp,
+        "bg_mean": rng.uniform(0.35, 0.65, 3).astype(np.float32),
+        # global affine motion of the background
+        "vel": rng.uniform(-max_speed, max_speed, 2).astype(np.float32),
+        "omega": np.float32(rng.uniform(-0.004, 0.004)),       # rad / frame
+        "zoom": np.float32(rng.uniform(-0.002, 0.002)),        # /frame
+        # foreground blobs
+        "fg_pos": np.stack([rng.uniform(0.15 * H, 0.85 * H, n_fg),
+                            rng.uniform(0.15 * W, 0.85 * W, n_fg)],
+                           -1).astype(np.float32),
+        "fg_vel": rng.uniform(-1.4 * max_speed, 1.4 * max_speed,
+                              (n_fg, 2)).astype(np.float32),
+        "fg_sigma": rng.uniform(9.0, 42.0, n_fg).astype(np.float32),
+        "fg_color": rng.uniform(0.08, 0.92, (n_fg, 3)).astype(np.float32),
+        "fg_opacity": rng.uniform(0.75, 1.0, n_fg).astype(np.float32),
+        "fg_lam": np.exp(rng.uniform(np.log(5.0), np.log(28.0),
+                                     n_fg)).astype(np.float32),
+        "fg_tex_amp": rng.uniform(0.05, 0.22, (n_fg, 3)).astype(np.float32),
+        "fg_tex_dir": rng.uniform(0, np.pi, n_fg).astype(np.float32),
+    }
+
+
+def render_frame(scene: dict, t: float, size: Tuple[int, int],
+                 origin: Tuple[float, float] = (0.0, 0.0)) -> np.ndarray:
+    """Render the (size[0], size[1]) crop at canvas offset ``origin`` at
+    continuous time ``t`` (frame units). Returns (H, W, 3) float32 in [0,1].
+    Cost is proportional to the crop, not the canvas."""
+    Hc, Wc = scene["canvas"]
+    H, W = size
+    y0, x0 = origin
+    yy, xx = np.meshgrid(
+        np.arange(H, dtype=np.float32) + y0,
+        np.arange(W, dtype=np.float32) + x0, indexing="ij",
+    )
+    # inverse-map through the global affine (rotate/zoom about the canvas
+    # center, then translate): background sampled at q
+    cy, cx = Hc / 2.0, Wc / 2.0
+    py = yy - cy - scene["vel"][0] * t
+    px = xx - cx - scene["vel"][1] * t
+    s = 1.0 + scene["zoom"] * t
+    th = scene["omega"] * t
+    c, sn = np.cos(th), np.sin(th)
+    qy = (c * py + sn * px) / s + cy
+    qx = (-sn * py + c * px) / s + cx
+
+    fy = scene["bg_freq"][:, 0][:, None, None]
+    fx = scene["bg_freq"][:, 1][:, None, None]
+    ph = scene["bg_phase"][:, None, None]
+    waves = np.sin(2 * np.pi * (fy * qy[None] + fx * qx[None]) + ph)  # (K,H,W)
+    img = scene["bg_mean"][None, None, :] + np.einsum(
+        "khw,kc->hwc", waves, scene["bg_amp"])
+
+    for i in range(scene["fg_pos"].shape[0]):
+        by = scene["fg_pos"][i, 0] + scene["fg_vel"][i, 0] * t
+        bx = scene["fg_pos"][i, 1] + scene["fg_vel"][i, 1] * t
+        dy = yy - by
+        dx = xx - bx
+        sig = scene["fg_sigma"][i]
+        alpha = scene["fg_opacity"][i] * np.exp(
+            -(dy * dy + dx * dx) / (2 * sig * sig))
+        # blob-attached texture (moves with the blob)
+        d = scene["fg_tex_dir"][i]
+        wave = np.sin(2 * np.pi * (np.sin(d) * dy + np.cos(d) * dx)
+                      / scene["fg_lam"][i])
+        col = scene["fg_color"][i][None, None, :] + (
+            wave[..., None] * scene["fg_tex_amp"][i][None, None, :])
+        img = img * (1.0 - alpha[..., None]) + col * alpha[..., None]
+
+    return np.clip(img, 0.0, 1.0).astype(np.float32)
+
+
+def render_sequence(seed: int, n_frames: int, size: Tuple[int, int],
+                    frame_step: float = 1.0,
+                    canvas: Optional[Tuple[int, int]] = None) -> np.ndarray:
+    """(n_frames, H, W, 3) clip of one scene — eval sequences / demos."""
+    rng = np.random.default_rng(seed)
+    scene = sample_scene(rng, canvas=canvas or size)
+    return np.stack([
+        render_frame(scene, i * frame_step, size) for i in range(n_frames)
+    ])
+
+
+class SyntheticVideoDataset:
+    """x8-temporal windows over procedural scenes (AdobeDataset schema).
+
+    ``nt`` GT frames are drawn per sample at random window indices — times
+    DIFFER per sample, exercising the per-sample pe conditioning path.
+    """
+
+    def __init__(self, n_items: int = 20000, gt_size: int = 192,
+                 scale: int = 4, nt: int = 3, interval: int = 8,
+                 seed: int = 0, phase: str = "train",
+                 max_speed: float = 3.0, **_ignored):
+        self.n_items = n_items
+        self.gt_size, self.scale = gt_size, scale
+        self.nt, self.interval = nt, interval
+        self.seed = seed
+        self.phase = phase
+        self.max_speed = max_speed
+
+    def __len__(self):
+        return self.n_items
+
+    def __getitem__(self, index: int):
+        from stif_tpu.data.native import host_imresize
+
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, int(index)]))
+        scene = sample_scene(rng, max_speed=self.max_speed)
+        Hc, Wc = scene["canvas"]
+        g = self.gt_size
+        # margin so the moving crop window stays on-canvas
+        y0 = rng.uniform(0, Hc - g)
+        x0 = rng.uniform(0, Wc - g)
+
+        k = self.interval  # input pair = frames (0, k)
+        if self.phase == "train":
+            idx = np.sort(rng.choice(k + 1, size=self.nt, replace=False))
+        else:
+            idx = np.linspace(0, k, self.nt).round().astype(int)
+        times = idx.astype(np.float32) / k
+
+        gts = np.stack([
+            render_frame(scene, float(i), (g, g), (y0, x0)) for i in idx
+        ])
+        lq0 = render_frame(scene, 0.0, (g, g), (y0, x0))
+        lqk = render_frame(scene, float(k), (g, g), (y0, x0))
+        lqs = host_imresize(np.stack([lq0, lqk]), 1.0 / self.scale)
+        return {
+            "LQs": np.ascontiguousarray(lqs.astype(np.float32)),
+            "GT": np.ascontiguousarray(gts),
+            "times": times,
+            "key": f"syn{self.seed}_{index}",
+        }

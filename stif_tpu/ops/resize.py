@@ -110,6 +110,24 @@ def imresize(img, scale: float, antialiasing: bool = True):
     return out
 
 
+def imresize_np(img: np.ndarray, scale: float,
+                antialiasing: bool = True) -> np.ndarray:
+    """Host-side (pure NumPy) MATLAB bicubic — same matrices as ``imresize``.
+
+    For the data pipeline and eval harnesses: these run on CPU threads while
+    the accelerator is busy, and must never trigger an XLA compile (on the
+    tunneled TPU a first-shape compile costs minutes). Named after the
+    reference's ``imresize_np`` (``codes/data/util.py:302-371``)."""
+    img = np.asarray(img, dtype=np.float32)
+    in_h, in_w = img.shape[-3], img.shape[-2]
+    out_h, out_w = math.ceil(in_h * scale), math.ceil(in_w * scale)
+    M_h = _matlab_resize_matrix(in_h, out_h, scale, antialiasing)
+    M_w = _matlab_resize_matrix(in_w, out_w, scale, antialiasing)
+    out = np.einsum("oh,...hwc->...owc", M_h, img)
+    out = np.einsum("ow,...hwc->...hoc", M_w, out)
+    return out.astype(np.float32)
+
+
 @lru_cache(maxsize=256)
 def _bilinear_resize_matrix(in_length: int, out_length: int,
                             align_corners: bool) -> np.ndarray:

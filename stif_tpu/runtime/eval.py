@@ -19,7 +19,7 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from stif_tpu.ops.resize import imresize
+from stif_tpu.data.native import host_imresize
 from stif_tpu.utils.metrics import bgr2ycbcr, calculate_psnr, calculate_ssim
 
 
@@ -76,7 +76,7 @@ def eval_space_time_sr(pipeline, gt_root: str,
         H = gt.shape[1] - gt.shape[1] % (m * 2)
         W = gt.shape[2] - gt.shape[2] % (m * 2)
         gt = gt[:, :H, :W]
-        lr = np.asarray(imresize(gt, downscale))  # (T, h, w, 3)
+        lr = host_imresize(gt, downscale)  # (T, h, w, 3)
         inputs = lr[::2]
 
         psnrs, ssims = [], []
@@ -124,7 +124,7 @@ def eval_temporal_x8(pipeline, gt_root: str,
         H = gt.shape[1] - gt.shape[1] % m
         W = gt.shape[2] - gt.shape[2] % m
         gt = gt[:, :H, :W]
-        lr = np.asarray(imresize(gt, downscale))
+        lr = host_imresize(gt, downscale)
         psnrs, ssims = [], []
         for i in range(0, gt.shape[0] - 8, 8):
             out = pipeline.render_window(

@@ -73,11 +73,18 @@ class VideoSRModel:
     def init_params(self, example_lqs, example_times, seed: int = 0):
         x = jnp.asarray(example_lqs)
         t = jnp.asarray(example_times)
+        # Param shapes don't depend on spatial dims: init at a minimal
+        # (1, N, 16, 16, 3) clip, under jit — an UNCOMPILED full-model init
+        # dispatches each op over the (tunneled) device link and takes
+        # minutes on TPU.
+        x0 = jnp.zeros((1, x.shape[1], 16, 16, x.shape[-1]), x.dtype)
+        t0 = t[:1] if t.ndim == 1 else t[:1, :]
         if hasattr(self.net, "full_init"):
-            params = self.net.init(jax.random.PRNGKey(seed), x, t,
-                                   method=self.net.full_init)
+            init_fn = jax.jit(
+                lambda k: self.net.init(k, x0, t0, method=self.net.full_init))
         else:
-            params = self.net.init(jax.random.PRNGKey(seed), x, t)
+            init_fn = jax.jit(lambda k: self.net.init(k, x0, t0))
+        params = init_fn(jax.random.PRNGKey(seed))
         self.state, self.tx = create_train_state(params, self.cfg)
         if self.parallel:
             mesh = default_mesh()
