@@ -22,15 +22,32 @@ _SEQ_RE = re.compile(
     r"^(t_process|f_process|layersAtBOffset|layersCtBOffset|layersFusion)_\d+$"
 )
 
-# number of net entries per imnet: (sine layers, has final plain linear)
-_IMNET_LAYERS = {"feat_imnet": 4, "flow_imnet": 4, "encode_imnet": 5}
+
+def _imnet_depths(flat_paths) -> Dict[str, int]:
+    """Per-imnet ``net`` length, discovered from the param tree.
+
+    Model variants differ in imnet depth (flagship feat_imnet has 4 net
+    entries, the train variant's has 5 — ``Sakuya_arch.py:303-308``); the
+    final entry is a plain Linear keyed ``net.{last}`` (no ``.linear``)."""
+    depths: Dict[str, int] = {}
+    for path in flat_paths:
+        for i in range(1, len(path) - 1):
+            if path[i].startswith("layer") and path[i - 1].endswith("imnet"):
+                li = int(path[i][len("layer"):])
+                name = path[i - 1]
+                depths[name] = max(depths.get(name, 0), li + 1)
+    return depths
 
 
-def _flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
+def _flax_path_to_torch(path: Tuple[str, ...],
+                        imnet_depths: Dict[str, int] = None
+                        ) -> Tuple[str, str]:
     """Map a flax param path (module names + leaf) to (torch_key, kind).
 
     kind in {"conv", "linear", "bias"} controls the layout transform.
+    ``imnet_depths``: per-imnet net length (from ``_imnet_depths``).
     """
+    imnet_depths = imnet_depths or {}
     *mods, leaf = path
     out = []
     kind = None
@@ -53,8 +70,8 @@ def _flax_path_to_torch(path: Tuple[str, ...]) -> Tuple[str, str]:
             else:
                 out.append("forward_net")
                 i += 1  # skip 'step'
-        elif m in _IMNET_LAYERS and i + 1 < len(mods) and mods[i + 1].startswith("layer"):
-            n_layers = _IMNET_LAYERS[m]
+        elif m in imnet_depths and i + 1 < len(mods) and mods[i + 1].startswith("layer"):
+            n_layers = imnet_depths[m]
             li = int(mods[i + 1][len("layer"):])
             out.append(m)
             out.append("net")
@@ -95,14 +112,17 @@ def flax_params_to_torch_state(params) -> Dict[str, np.ndarray]:
     """flax params (the ``{'params': ...}`` dict or its inner tree) ->
     torch-style state dict of numpy arrays."""
     tree = params.get("params", params) if hasattr(params, "get") else params
+    entries = list(_flatten(tree))
+    depths = _imnet_depths([p for p, _ in entries])
     state = {}
-    for path, value in _flatten(tree):
+    for path, value in entries:
         v = np.asarray(value)
         if "blocks" in path:  # scanned trunk: leading stacked block axis
             j = path.index("blocks")
             pre, post = path[:j], path[j + 2:]
             for i in range(v.shape[0]):
-                key, kind = _flax_path_to_torch(pre + (f"block{i}",) + post)
+                key, kind = _flax_path_to_torch(pre + (f"block{i}",) + post,
+                                                depths)
                 vi = v[i]
                 if kind == "conv" and vi.ndim == 4:
                     vi = vi.transpose(3, 2, 0, 1)
@@ -110,7 +130,7 @@ def flax_params_to_torch_state(params) -> Dict[str, np.ndarray]:
                     vi = vi.T
                 state[key] = vi
             continue
-        key, kind = _flax_path_to_torch(path)
+        key, kind = _flax_path_to_torch(path, depths)
         if kind == "conv" and v.ndim == 4:
             v = v.transpose(3, 2, 0, 1)  # HWIO -> OIHW
         elif kind == "linear" and v.ndim == 2:
@@ -131,11 +151,12 @@ def torch_state_to_flax_params(state: Dict[str, np.ndarray], example_params):
 
     inner = example_params.get("params", example_params)
     flat = {path: v for path, v in _flatten(inner)}
+    depths = _imnet_depths(list(flat))
     new_flat = {}
     used = set()
 
     def fetch(path, old_shape):
-        key, kind = _flax_path_to_torch(path)
+        key, kind = _flax_path_to_torch(path, depths)
         if key not in state:
             raise KeyError(f"checkpoint missing key {key} (for {'/'.join(path)})")
         v = np.asarray(state[key], dtype=np.float32)

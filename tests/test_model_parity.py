@@ -114,6 +114,26 @@ class TestFullParity:
         # numerical tolerance is enough to prove row 1's times were used
         assert np.abs(got[:, 1] - shared[:, 1]).max() > 5e-4
 
+    def test_local_ensemble(self, pair, rng):
+        """Numeric oracle for ``decode(local_ensemble=True)`` vs the
+        reference's shifted-pass area blend with diagonal swap
+        (``Sakuya_arch_test.py:962-1085``)."""
+        model, params, mirror = pair
+        x = _rand_clip(rng)
+        times_np = np.asarray([0.3, 0.8], np.float32)
+        with torch.no_grad():
+            mirror.gen_feat(torch.from_numpy(x))
+            want = mirror.decoding_localensemble(
+                [torch.tensor(t) for t in times_np])
+            want = np.stack([w.numpy() for w in want])
+        got = model.apply(
+            params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+            jnp.asarray(times_np), local_ensemble=True,
+        )
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
     def test_legacy_pixelshuffle_head(self, pair, rng):
         model, params, mirror = pair
         x = _rand_clip(rng)
@@ -135,3 +155,77 @@ class TestFullParity:
 
 def F_pixel_shuffle(x, r):
     return torch.nn.functional.pixel_shuffle(x, r)
+
+
+class TestTrainVariantParity:
+    """LunaTokisTrain (fold-27 patch decoder, ``Sakuya_arch.py:359-459``)
+    vs an independent torch mirror with ``F.fold``."""
+
+    CFG = dict(nf=16, nframes=7, groups=4, front_RBs=2, back_RBs=2)
+
+    def test_forward(self, rng):
+        from stif_tpu.models.luna_tokis_variants import LunaTokisTrain
+
+        model = LunaTokisTrain(**self.CFG)
+        x = rng.random((1, 2, 3, H, W)).astype(np.float32)
+        times_np = np.asarray([0.0, 0.4, 1.0], np.float32)
+        params = model.init(jax.random.PRNGKey(3),
+                            jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                            jnp.asarray(times_np))
+        mirror = torch_mirror.LunaTokisTrain(**self.CFG)
+        torch_mirror.load_flax_params(mirror, params)
+        mirror.eval()
+        with torch.no_grad():
+            want = mirror(torch.from_numpy(x),
+                          [torch.tensor(t) for t in times_np])
+            want = np.stack([w.numpy() for w in want])
+        got = model.apply(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                          jnp.asarray(times_np))
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+class TestTMNetParity:
+    """TMNet vs the independent torch mirror (reference semantics of
+    ``codes/models/modules/STVSR.py``: TMB-modulated PCD, per-time PCD loop,
+    non-linear comparison refinement, trunk residual, x4 head)."""
+
+    CFG = dict(nf=16, nframes=3, groups=4, front_RBs=2, back_RBs=2)
+
+    @pytest.fixture(scope="class")
+    def tm_pair(self):
+        from stif_tpu.models import TMNet
+
+        model = TMNet(**self.CFG)
+        x = jnp.zeros((1, 2, H, W, 3))
+        t = jnp.asarray([[0.25, 0.75]])
+        params = model.init(jax.random.PRNGKey(7), x, t)
+        mirror = torch_mirror.TMNet(**self.CFG)
+        torch_mirror.load_flax_params(mirror, params)
+        mirror.eval()
+        return model, params, mirror
+
+    def test_forward_timed(self, tm_pair, rng):
+        model, params, mirror = tm_pair
+        x = rng.random((2, 2, 3, H, W)).astype(np.float32)
+        t = np.asarray([[0.25, 0.75], [0.5, 0.125]], np.float32)
+        with torch.no_grad():
+            want = mirror(torch.from_numpy(x), torch.from_numpy(t)).numpy()
+        got = model.apply(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                          jnp.asarray(t))
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape  # (B, 1 + t_N + 1, 3, 4H, 4W)
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+    def test_forward_untimed(self, tm_pair, rng):
+        """t=None: plain ZSM interleaving (STVSR.py:413-416)."""
+        model, params, mirror = tm_pair
+        x = rng.random((1, 2, 3, H, W)).astype(np.float32)
+        with torch.no_grad():
+            want = mirror(torch.from_numpy(x), None).numpy()
+        got = model.apply(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                          None)
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)

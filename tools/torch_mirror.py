@@ -390,9 +390,371 @@ class LunaTokis(nn.Module):
             preds.append(rgb.permute(0, 2, 1).view(bs, 3, HH, WW))
         return preds
 
+    def decoding_localensemble(self, times):
+        """Reference ``decoding_localensemble`` (``Sakuya_arch_test.py:962-
+        1085``): 4 (+-rx, +-ry)-shifted decode passes blended by rel-coord
+        areas with the LIIF diagonal swap; HR input stays at LR resolution
+        (the upsample is commented out in the reference). Per-time loop —
+        equivalent to the reference's time-as-batch for B=1."""
+        feat = torch.cat([self.feat[:, i] for i in range(self.feat.shape[1])], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        inp_cat = self.inp.view(bs, -1, H, W)
+        rx = 2 / H / 2
+        ry = 2 / W / 2
+        outs = []
+        for t in times:
+            preds, areas = [], []
+            for vx in (-1, 1):
+                for vy in (-1, 1):
+                    coord_ = coord_hr.clone()
+                    coord_[:, :, 0] += vx * rx + 1e-6
+                    coord_[:, :, 1] += vy * ry + 1e-6
+                    coord_.clamp_(-1 + 1e-6, 1 - 1e-6)
+                    q_feat = gs(feat, coord_, "nearest")
+                    q_inp = gs(inp_cat, coord_, "nearest")
+                    q_coord = gs(feat_coord, coord_, "nearest")
+                    rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+                    areas.append(
+                        torch.abs(rel[:, :, 0] * rel[:, :, 1]) + 1e-9)
+                    pe = torch.ones_like(coord_hr[:, :, :1]) * t
+                    hrfeat = self.feat_imnet(
+                        torch.cat([q_feat, q_inp, rel, pe], -1))
+                    hrfeat = hrfeat.permute(0, 2, 1).view(bs, 64, HH, WW)
+                    q_feat_b = gs(hrfeat, coord_, "nearest")
+                    q_inp_b = gs(inp_cat, coord_, "bilinear")
+                    q_feat0 = gs(feat, coord_, "bilinear")
+                    flow = self.flow_imnet(
+                        torch.cat([q_feat_b, q_feat0, q_inp_b, pe], -1))
+                    flow = flow.permute(0, 2, 1).view(bs, 4, HH, WW)
+
+                    def wgrid(fl):
+                        hor = torch.linspace(-1, 1, WW).view(1, 1, 1, WW) \
+                            .expand(bs, 1, HH, WW)
+                        ver = torch.linspace(-1, 1, HH).view(1, 1, HH, 1) \
+                            .expand(bs, 1, HH, WW)
+                        base = torch.cat([hor, ver], 1)
+                        fn = torch.cat(
+                            [fl[:, 0:1] / ((WW - 1) / 2),
+                             fl[:, 1:2] / ((HH - 1) / 2)], 1)
+                        return (base + fn).permute(0, 2, 3, 1)
+
+                    g1 = wgrid(flow[:, :2]).view(bs, -1, 2).clamp(
+                        -1 + 1e-6, 1 - 1e-6).flip(-1)
+                    g2 = wgrid(flow[:, 2:]).view(bs, -1, 2).clamp(
+                        -1 + 1e-6, 1 - 1e-6).flip(-1)
+                    q_feat1 = gs(hrfeat, g1, "bilinear")
+                    q_img1 = gs(inp_cat, g1, "bilinear")
+                    q_feat3 = gs(feat, g1, "bilinear")
+                    q_feat2 = gs(hrfeat, g2, "bilinear")
+                    q_img2 = gs(inp_cat, g2, "bilinear")
+                    q_feat4 = gs(feat, g2, "bilinear")
+                    rgb = self.encode_imnet(torch.cat(
+                        [q_feat1, q_feat2, q_feat3, q_feat4,
+                         q_img1, q_img2, pe], -1))
+                    preds.append(rgb.permute(0, 2, 1).view(bs, 3, HH, WW))
+            tot = torch.stack(areas).sum(0)
+            areas = [areas[3], areas[2], areas[1], areas[0]]
+            ret = 0
+            for p, a in zip(preds, areas):
+                ret = ret + p * (a / tot).view(bs, 1, HH, WW)
+            outs.append(ret)
+        return outs
+
     def forward(self, x, times, scale=None, test=False):
         self.gen_feat(x)
         return self.decoding(times, scale, test)
+
+
+# -------------------------------------------------- train-variant (fold-27)
+
+
+class EncoderM(nn.Module):
+    """The shared LunaTokis encoder as a nested module (matches the flax
+    variants' ``encoder`` submodule naming)."""
+
+    def __init__(self, nf=64, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.conv_first = nn.Conv2d(3, nf, 3, 1, 1)
+        self.feature_extraction = nn.Sequential(
+            *[ResBlock(nf) for _ in range(front_RBs)])
+        self.fea_L2_conv1 = nn.Conv2d(nf, nf, 3, 2, 1)
+        self.fea_L2_conv2 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.fea_L3_conv1 = nn.Conv2d(nf, nf, 3, 2, 1)
+        self.fea_L3_conv2 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.pcd_align = PCDAlign(nf, groups)
+        self.fusion = nn.Conv2d(2 * nf, nf, 1, 1)
+        self.ConvBLSTM = BiDeformableConvLSTM(nf, groups)
+        self.recon_trunk = nn.Sequential(
+            *[ResBlock(nf) for _ in range(back_RBs)])
+
+    def forward(self, x):
+        B, N, C, H, W = x.shape
+        l1 = lrelu(self.conv_first(x.view(-1, C, H, W)))
+        l1 = self.feature_extraction(l1)
+        l2 = lrelu(self.fea_L2_conv2(lrelu(self.fea_L2_conv1(l1))))
+        l3 = lrelu(self.fea_L3_conv2(lrelu(self.fea_L3_conv1(l2))))
+        l1 = l1.view(B, N, -1, H, W)
+        l2 = l2.view(B, N, -1, H // 2, W // 2)
+        l3 = l3.view(B, N, -1, H // 4, W // 4)
+        seq = []
+        for idx in range(N - 1):
+            fea1 = [l1[:, idx], l2[:, idx], l3[:, idx]]
+            fea2 = [l1[:, idx + 1], l2[:, idx + 1], l3[:, idx + 1]]
+            fused = self.fusion(self.pcd_align(fea1, fea2))
+            if idx == 0:
+                seq.append(fea1[0])
+            seq.append(fused)
+            seq.append(fea2[0])
+        feats = self.ConvBLSTM(torch.stack(seq, dim=1))
+        B2, T, C2, H2, W2 = feats.shape
+        out = self.recon_trunk(feats.view(-1, C2, H2, W2))
+        return out.view(B2, T, C2, H2, W2)
+
+
+class LunaTokisTrain(nn.Module):
+    """Mirror of the train variant's decoder (``Sakuya_arch.py:359-459``):
+    stage A without time code (200->128), stage B all-nearest LR gathers
+    with rel_coord + pe (329->4), stage D without time code (652->27)
+    assembled by a 3x3 overlap-add ``F.fold``."""
+
+    def __init__(self, nf=64, nframes=7, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.nf = nf
+        self.encoder = EncoderM(nf, groups, front_RBs, back_RBs)
+        self.feat_imnet = Siren(3 * nf + 8, [64, 64, 64, 256], 3, 128)
+        self.flow_imnet = Siren(128 + 3 * nf + 9, [64, 64, 64, 256], 3, 4)
+        self.encode_imnet = Siren(2 * 128 + 6 * nf + 12,
+                                  [64, 64, 64, 256, 256], 4, 27)
+
+    def forward(self, x, times):
+        feat_t = self.encoder(x)
+        feat = torch.cat([feat_t[:, 0], feat_t[:, 1], feat_t[:, 2]], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        # reference: self.inp.view(bs, -1, H, W) — frame-major channel order
+        inp_cat = x.reshape(bs, -1, H, W)
+        preds = []
+        for t in times:
+            q_feat = gs(feat, coord_hr, "nearest")
+            q_inp = gs(inp_cat, coord_hr, "nearest")
+            q_coord = gs(feat_coord, coord_hr, "nearest")
+            rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+            pe = torch.ones_like(coord_hr[:, :, :1]) * t
+            hrfeat = self.feat_imnet(torch.cat([q_feat, q_inp, rel], -1))
+            hrfeat = hrfeat.permute(0, 2, 1).view(bs, 128, HH, WW)
+            q_feat_b = gs(hrfeat, coord_hr, "nearest")
+            flow = self.flow_imnet(
+                torch.cat([q_feat_b, q_feat, q_inp, rel, pe], -1))
+            flow = flow.permute(0, 2, 1).view(bs, 4, HH, WW)
+
+            def wgrid(fl):
+                hor = torch.linspace(-1, 1, WW).view(1, 1, 1, WW).expand(
+                    bs, 1, HH, WW)
+                ver = torch.linspace(-1, 1, HH).view(1, 1, HH, 1).expand(
+                    bs, 1, HH, WW)
+                base = torch.cat([hor, ver], 1)
+                fn = torch.cat(
+                    [fl[:, 0:1] / ((WW - 1) / 2), fl[:, 1:2] / ((HH - 1) / 2)],
+                    1)
+                return (base + fn).permute(0, 2, 3, 1)
+
+            g1 = wgrid(flow[:, :2]).view(bs, -1, 2).clamp(-1 + 1e-6, 1 - 1e-6)
+            g2 = wgrid(flow[:, 2:]).view(bs, -1, 2).clamp(-1 + 1e-6, 1 - 1e-6)
+            g1, g2 = g1.flip(-1), g2.flip(-1)
+            q_feat1 = gs(hrfeat, g1, "bilinear")
+            q_feat3 = gs(feat, g1, "bilinear")
+            q_inp1 = gs(inp_cat, g1, "bilinear")
+            q_feat2 = gs(hrfeat, g2, "bilinear")
+            q_feat4 = gs(feat, g2, "bilinear")
+            q_inp2 = gs(inp_cat, g2, "bilinear")
+            patches = self.encode_imnet(torch.cat(
+                [q_feat1, q_feat3, q_inp1, q_feat2, q_feat4, q_inp2], -1))
+            pred = F.fold(patches.permute(0, 2, 1), output_size=(HH, WW),
+                          kernel_size=3, padding=1)
+            preds.append(pred)
+        return preds
+
+
+# ---------------------------------------------------------------- TMNet
+# Mirror of the reference TMNet semantics (``codes/models/modules/STVSR.py``):
+# PCD alignment with TMB time modulation on the last offset conv of each
+# level (:89-95, 107-151), a per-query-time PCD loop building the LSTM
+# sequence (:394-417), 3-frame non-linear comparison refinement (:424-444),
+# trunk + pre-refinement residual, fixed x4 pixel-shuffle head (:446-459).
+
+
+class TMB(nn.Module):
+    def __init__(self, nf=64):
+        super().__init__()
+        self.t_process = nn.Sequential(
+            nn.Conv2d(1, nf, 1, 1, 0, bias=False), nn.LeakyReLU(0.1),
+            nn.Conv2d(nf, nf, 1, 1, 0, bias=False), nn.LeakyReLU(0.1),
+            nn.Conv2d(nf, nf, 1, 1, 0, bias=False), nn.LeakyReLU(0.1),
+        )
+        self.f_process = nn.Sequential(
+            nn.Conv2d(nf, nf, 3, 1, 1), nn.LeakyReLU(0.1),
+            nn.Conv2d(nf, nf, 3, 1, 1), nn.LeakyReLU(0.1),
+        )
+
+    def forward(self, x, t):
+        return self.f_process(x) * self.t_process(t)
+
+
+class PCDAlignTM(PCDAlign):
+    def __init__(self, nf=64, groups=8):
+        super().__init__(nf, groups)
+        for side in ("A", "B"):
+            for lvl in (1, 2, 3):
+                setattr(self, f"TMB_{side}_l{lvl}", TMB(nf))
+
+    def forward(self, fea1, fea2, t=None, t_back=None):
+        ys = []
+        for s, a, b, tt in (("1", fea1, fea2, t), ("2", fea2, fea1, t_back)):
+            side = "A" if s == "1" else "B"
+            g = lambda n: getattr(self, f"{n}_{s}")
+            tmb = lambda lvl: getattr(self, f"TMB_{side}_l{lvl}")
+            off = torch.cat([a[2], b[2]], dim=1)
+            pre = lrelu(g("L3_offset_conv1")(off))
+            off = lrelu(g("L3_offset_conv2")(pre))
+            if tt is not None:
+                off = off + tmb(3)(pre, tt)
+            l3_fea = lrelu(g("L3_dcnpack")(a[2], off))
+            l3_off = off
+            off = torch.cat([a[1], b[1]], dim=1)
+            off = lrelu(g("L2_offset_conv1")(off))
+            pre = lrelu(g("L2_offset_conv2")(
+                torch.cat([off, _up2(l3_off) * 2], 1)))
+            off = lrelu(g("L2_offset_conv3")(pre))
+            if tt is not None:
+                off = off + tmb(2)(pre, tt)
+            l2_fea = g("L2_dcnpack")(a[1], off)
+            l2_fea = lrelu(g("L2_fea_conv")(torch.cat([l2_fea, _up2(l3_fea)], 1)))
+            l2_off = off
+            off = torch.cat([a[0], b[0]], dim=1)
+            off = lrelu(g("L1_offset_conv1")(off))
+            pre = lrelu(g("L1_offset_conv2")(
+                torch.cat([off, _up2(l2_off) * 2], 1)))
+            off = lrelu(g("L1_offset_conv3")(pre))
+            if tt is not None:
+                off = off + tmb(1)(pre, tt)
+            l1_fea = g("L1_dcnpack")(a[0], off)
+            l1_fea = g("L1_fea_conv")(torch.cat([l1_fea, _up2(l2_fea)], 1))
+            ys.append(l1_fea)
+        return torch.cat(ys, dim=1)
+
+
+class TMNet(nn.Module):
+    def __init__(self, nf=64, nframes=3, groups=8, front_RBs=5, back_RBs=10):
+        super().__init__()
+        self.nf = nf
+        self.conv_first = nn.Conv2d(3, nf, 3, 1, 1)
+        self.feature_extraction = nn.Sequential(
+            *[ResBlock(nf) for _ in range(front_RBs)])
+        self.fea_L2_conv1 = nn.Conv2d(nf, nf, 3, 2, 1)
+        self.fea_L2_conv2 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.fea_L3_conv1 = nn.Conv2d(nf, nf, 3, 2, 1)
+        self.fea_L3_conv2 = nn.Conv2d(nf, nf, 3, 1, 1)
+        self.pcd_align = PCDAlignTM(nf, groups)
+        self.fusion = nn.Conv2d(2 * nf, nf, 1, 1)
+        self.ConvBLSTM = BiDeformableConvLSTM(nf, groups)
+        self.recon_trunk = nn.Sequential(
+            *[ResBlock(nf) for _ in range(back_RBs)])
+        self.upconv1 = nn.Conv2d(nf, nf * 4, 3, 1, 1)
+        self.upconv2 = nn.Conv2d(nf, 64 * 4, 3, 1, 1)
+        self.HRconv = nn.Conv2d(64, 64, 3, 1, 1)
+        self.conv_last = nn.Conv2d(64, 3, 3, 1, 1)
+        self.layersAtBOffset = nn.Sequential(
+            nn.Conv2d(2 * nf, nf, 3, 1, 1), nn.LeakyReLU(0.1),
+            nn.Conv2d(nf, nf, 3, 1, 1))
+        self.layersAtB = DCNSep(nf, groups)
+        self.layersCtBOffset = nn.Sequential(
+            nn.Conv2d(2 * nf, nf, 3, 1, 1), nn.LeakyReLU(0.1),
+            nn.Conv2d(nf, nf, 3, 1, 1))
+        self.layersCtB = DCNSep(nf, groups)
+        self.layersFusion = nn.Sequential(
+            nn.Conv2d(3 * nf, 3 * nf, 1, 1, 0), nn.LeakyReLU(0.1),
+            nn.Conv2d(3 * nf, 3 * nf, 1, 1, 0), nn.LeakyReLU(0.1),
+            nn.Conv2d(3 * nf, 3 * nf, 1, 1, 0), nn.LeakyReLU(0.1),
+            nn.Conv2d(3 * nf, nf, 1, 1, 0))
+
+    def forward(self, x, t=None):
+        use_time = t is not None
+        if use_time:
+            t_B, t_N = t.shape
+            t_back = 1 - t
+            tn = ((t / 0.5) - 1).view(t_B, t_N, 1, 1, 1)
+            tbn = ((t_back / 0.5) - 1).view(t_B, t_N, 1, 1, 1)
+        B, N, C, H, W = x.shape
+        l1 = lrelu(self.conv_first(x.view(-1, C, H, W)))
+        l1 = self.feature_extraction(l1)
+        l2 = lrelu(self.fea_L2_conv2(lrelu(self.fea_L2_conv1(l1))))
+        l3 = lrelu(self.fea_L3_conv2(lrelu(self.fea_L3_conv1(l2))))
+        l1 = l1.view(B, N, -1, H, W)
+        l2 = l2.view(B, N, -1, H // 2, W // 2)
+        l3 = l3.view(B, N, -1, H // 4, W // 4)
+        seq = []
+        for idx in range(N - 1):
+            fea1 = [l1[:, idx], l2[:, idx], l3[:, idx]]
+            fea2 = [l1[:, idx + 1], l2[:, idx + 1], l3[:, idx + 1]]
+            if idx == 0:
+                seq.append(fea1[0])
+            if use_time:
+                for i in range(t_N):
+                    aligned = self.pcd_align(fea1, fea2, tn[:, i], tbn[:, i])
+                    seq.append(self.fusion(aligned))
+            else:
+                seq.append(self.fusion(self.pcd_align(fea1, fea2)))
+            seq.append(fea2[0])
+        dnc_feats = torch.stack(seq, dim=1)
+        back_feats = dnc_feats
+        T = dnc_feats.shape[1]
+        refined = []
+        for i in range(T):
+            i0 = 0 if i == 0 else i - 1
+            i2 = T - 1 if i == T - 1 else i + 1
+            fea0, fea1_, fea2 = dnc_feats[:, i0], dnc_feats[:, i], dnc_feats[:, i2]
+            off_a = self.layersAtBOffset(torch.cat([fea0, fea1_], 1))
+            fea0_al = lrelu(self.layersAtB(fea0, off_a))
+            off_c = self.layersCtBOffset(torch.cat([fea2, fea1_], 1))
+            fea2_al = lrelu(self.layersCtB(fea2, off_c))
+            refined.append(self.layersFusion(
+                torch.cat([fea0_al, fea1_, fea2_al], 1)))
+        lstm_feats = dnc_feats + torch.stack(refined, dim=1)
+        feats = self.ConvBLSTM(lstm_feats)
+        B2, T2, C2, H2, W2 = feats.shape
+        out = self.recon_trunk(feats.view(-1, C2, H2, W2))
+        out = out + back_feats.view(-1, C2, H2, W2)
+        out = lrelu(F.pixel_shuffle(self.upconv1(out), 2))
+        out = lrelu(F.pixel_shuffle(self.upconv2(out), 2))
+        out = self.conv_last(lrelu(self.HRconv(out)))
+        return out.view(B2, T2, 3, 4 * H2, 4 * W2)
 
 
 def load_flax_params(model: nn.Module, flax_params):
@@ -400,12 +762,20 @@ def load_flax_params(model: nn.Module, flax_params):
     from stif_tpu.convert import flax_params_to_torch_state
 
     state = flax_params_to_torch_state(flax_params)
+    # mirror uses .final instead of net.{last} for the output linear; the
+    # last index differs per model variant — discover it from the keys
+    import re as _re
+
+    n_last = {}
+    for k in state:
+        m = _re.match(r"^(\w*imnet)\.net\.(\d+)\.", k)
+        if m:
+            n_last[m.group(1)] = max(n_last.get(m.group(1), 0),
+                                     int(m.group(2)))
     mapped = {}
     for k, v in state.items():
-        # mirror uses .final instead of net.{last} for the output linear
-        for net in ("feat_imnet", "flow_imnet", "encode_imnet"):
-            n_last = {"feat_imnet": 3, "flow_imnet": 3, "encode_imnet": 4}[net]
-            pref = f"{net}.net.{n_last}."
+        for net, last in n_last.items():
+            pref = f"{net}.net.{last}."
             if k.startswith(pref):
                 k = f"{net}.final." + k[len(pref):]
         mapped[k] = torch.from_numpy(np.ascontiguousarray(v))
