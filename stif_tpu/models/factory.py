@@ -35,4 +35,10 @@ def define_g(opt: dict):
         return LunaTokisZSM(**kwargs)
     if which == "TMNet":
         return TMNet(**kwargs)
+    if which.startswith("LIIF_"):
+        from stif_tpu.models.ablations import _PRESETS, make_ablation
+
+        preset = which[len("LIIF_"):]
+        if preset in _PRESETS:
+            return make_ablation(preset, **kwargs)
     raise NotImplementedError(f"Generator model [{which}] not recognized")
