@@ -1,12 +1,17 @@
 """Headline benchmark: continuous space-time SR throughput on one TPU chip.
 
 Canonical workload (mirrors the reference's deployed path,
-``custom_video_test.py``): one LR frame pair -> 8 intermediate frames at x4
+``custom_video_test.py``): LR frame pairs -> 8 intermediate frames at x4
 spatial SR with the full LunaTokis config (nf=64, 5 front / 40 back RBs).
+
+Two streaming modes are measured and the faster one is the headline:
+  * B=1 double-buffered pair streaming (fetch pair i while i+1 computes);
+  * batched-pair streaming (encoder at batch B amortizes dispatch/small-op
+    cost; decode memory-bounded through the ChunkedDecoder).
 
 Prints ONE JSON line:
   {"metric": "frames_per_sec", "value": N, "unit": "frames/s",
-   "vs_baseline": N}
+   "vs_baseline": N, ...diagnostic fields...}
 
 vs_baseline compares against the measured torch-CPU mirror throughput stored
 in BASELINE_MEASURED.json (the reference itself cannot run anywhere without
@@ -24,6 +29,7 @@ LR_H, LR_W = 96, 160
 N_TIMES = 8
 WARMUP = 2
 ITERS = 5
+PAIR_BATCH = int(os.environ.get("BENCH_PAIR_BATCH", "2"))
 
 
 def _enable_compile_cache():
@@ -39,11 +45,9 @@ def _enable_compile_cache():
         pass
 
 
-def bench_tpu():
+def _build():
     import jax
     import jax.numpy as jnp
-
-    _enable_compile_cache()
 
     from stif_tpu.models import LunaTokis
 
@@ -62,8 +66,18 @@ def bench_tpu():
         )()
     dev = jax.devices()[0]
     params = jax.device_put(params, dev)
-    x = jax.device_put(jnp.asarray(xn), dev)
+    return model, params, dev, rng, tn
+
+
+def bench_b1(model, params, dev, rng, tn):
+    """B=1 double-buffered streaming + per-stage breakdown."""
+    import jax
+    import jax.numpy as jnp
+
     times = jax.device_put(jnp.asarray(tn), dev)
+    x = jax.device_put(
+        jnp.asarray(rng.random((1, 2, LR_H, LR_W, 3)).astype(np.float32)),
+        dev)
 
     # product behavior: clamp to [0,1] and quantize to uint8 on device (the
     # frames are saved as images); 4x smaller host transfer.
@@ -73,11 +87,8 @@ def bench_tpu():
         ).astype(jnp.uint8)
     )
     for _ in range(WARMUP):
-        out = fwd(params, x, times)
-        np.asarray(out)  # force completion (axon block_until_ready is lazy)
+        np.asarray(fwd(params, x, times))  # force completion
 
-    # streaming throughput: distinct frame pairs, double-buffered — fetch
-    # pair i's frames while pair i+1 computes (the production pipeline shape)
     stream = [
         jax.device_put(
             jnp.asarray(rng.random((1, 2, LR_H, LR_W, 3)).astype(np.float32)),
@@ -93,11 +104,85 @@ def bench_tpu():
         pending = nxt
     out = np.asarray(pending)
     dt = (time.perf_counter() - t0) / ITERS
-    return N_TIMES / dt, out.shape
+    fps = N_TIMES / dt
+
+    # per-stage breakdown (diagnostic; separate dispatches)
+    gen = jax.jit(lambda p, x: model.apply(p, x, method=model.gen_feat))
+    dec = jax.jit(
+        lambda p, f, x, t: jnp.round(
+            jnp.clip(model.apply(p, f, x, t, method=model.decode), 0, 1) * 255
+        ).astype(jnp.uint8))
+    feat = gen(params, x)
+    np.asarray(feat[0, 0, 0, :1])  # warm the compile
+    t0 = time.perf_counter()
+    for _ in range(2):
+        feat = gen(params, x)
+        np.asarray(feat[0, 0, 0, :1])
+    t_enc = (time.perf_counter() - t0) / 2
+    np.asarray(dec(params, feat, x, times))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        o = dec(params, feat, x, times)
+        np.asarray(o[0, 0, 0, :1])
+    t_dec = (time.perf_counter() - t0) / 2
+    t0 = time.perf_counter()
+    np.asarray(o)  # full uint8 frame fetch
+    t_xfer = time.perf_counter() - t0
+    stages = {"encode_s": round(t_enc, 4), "decode_s": round(t_dec, 4),
+              "transfer_s": round(t_xfer, 4)}
+    return fps, out.shape, stages
+
+
+def bench_batched(model, params, dev, rng, tn, batch):
+    """Batched-pair streaming through the chunked decoder."""
+    import jax
+    import jax.numpy as jnp
+
+    from stif_tpu.runtime.chunked import ChunkedDecoder
+
+    times = jax.device_put(jnp.asarray(tn), dev)
+    gen = jax.jit(lambda p, x: model.apply(p, x, method=model.gen_feat))
+    chunk = int(os.environ.get("BENCH_CHUNK", str(LR_H * LR_W * 16)))
+    dec = ChunkedDecoder(model, params, chunk_size=chunk)
+
+    def run(xb):
+        feat = gen(params, xb)
+        out = dec.decode(feat, xb, times,
+                         (LR_H * 4, LR_W * 4))
+        return out
+
+    xb = jax.device_put(
+        jnp.asarray(rng.random((batch, 2, LR_H, LR_W, 3)).astype(np.float32)),
+        dev)
+    for _ in range(WARMUP):
+        run(xb)
+    groups = [
+        jax.device_put(
+            jnp.asarray(
+                rng.random((batch, 2, LR_H, LR_W, 3)).astype(np.float32)),
+            dev,
+        )
+        for _ in range(max(2, ITERS // batch))
+    ]
+    t0 = time.perf_counter()
+    for g in groups:
+        run(g)
+    dt = (time.perf_counter() - t0) / len(groups)
+    return batch * N_TIMES / dt
 
 
 def main():
-    fps, shape = bench_tpu()
+    _enable_compile_cache()
+    model, params, dev, rng, tn = _build()
+    fps1, shape, stages = bench_b1(model, params, dev, rng, tn)
+    fps_b, batch_err = None, None
+    if PAIR_BATCH > 1:
+        try:
+            fps_b = bench_batched(model, params, dev, rng, tn, PAIR_BATCH)
+        except Exception as e:  # never fail the headline on the batched path
+            batch_err = f"{type(e).__name__}: {e}"[:200]
+    fps = max(fps1, fps_b or 0.0)
+
     baseline_path = os.path.join(os.path.dirname(__file__),
                                  "BASELINE_MEASURED.json")
     vs = None
@@ -107,12 +192,19 @@ def main():
         ref_fps = base.get("torch_cpu_frames_per_sec")
         if ref_fps:
             vs = fps / ref_fps
-    print(json.dumps({
+    rec = {
         "metric": "frames_per_sec",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
-    }))
+        "b1_fps": round(fps1, 3),
+        "batched_fps": round(fps_b, 3) if fps_b else None,
+        "pair_batch": PAIR_BATCH,
+        "stages": stages,
+    }
+    if batch_err:
+        rec["batched_error"] = batch_err
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

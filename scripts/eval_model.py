@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""End-to-end quality evaluation of a trained checkpoint.
+
+Protocol: the reference's headline ``test_metric_full`` Vid4 recipe
+(``codes/myutils.py:463-558``): LR input = every 2nd frame bicubic-downscaled
+x4; query times t in {0.5, 0}; Y-channel MATLAB-convention PSNR/SSIM —
+plus a bicubic-upsample baseline on the same frames so "beats bicubic" is a
+measured statement, not an assumption.
+
+The eval sequences are deterministic procedural scenes
+(``stif_tpu.data.synthetic.render_sequence``) rendered to PNG folders —
+same distribution family as configs/train_synthetic.yml but disjoint seeds.
+
+Usage:
+  python scripts/eval_model.py -opt configs/train_synthetic.yml \
+      [--step N] [--gather-dtype bf16] [--out EVAL.json] [--scenes 4]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def build_eval_set(root: str, n_scenes: int = 4, n_frames: int = 12,
+                   size=(144, 192), seed0: int = 990_000) -> str:
+    """Render deterministic eval scenes to <root>/scene<k>/*.png (idempotent).
+    Seeds are far outside the training sampler's (seed, index) range."""
+    import cv2
+
+    from stif_tpu.data.synthetic import render_sequence
+
+    os.makedirs(root, exist_ok=True)
+    for k in range(n_scenes):
+        d = os.path.join(root, f"scene{k}")
+        if os.path.isdir(d) and len(os.listdir(d)) == n_frames:
+            continue
+        os.makedirs(d, exist_ok=True)
+        clip = render_sequence(seed0 + k, n_frames, size)
+        for t in range(n_frames):
+            img = (np.clip(clip[t], 0, 1) * 255).round().astype(np.uint8)
+            cv2.imwrite(os.path.join(d, f"{t:03d}.png"), img[..., ::-1])
+    return root
+
+
+def bicubic_baseline(gt_root: str, downscale: float = 0.25) -> dict:
+    """PSNR/SSIM of MATLAB-bicubic x4 upsampling of the LR inputs (t=0) and
+    of frame-hold for t=0.5 — what the model must beat."""
+    from stif_tpu.data.native import host_imresize
+    from stif_tpu.runtime.eval import _load_frames
+    from stif_tpu.utils.metrics import bgr2ycbcr, calculate_psnr, calculate_ssim
+
+    res = {"t0_psnr": [], "t0_ssim": [], "t05_psnr": [], "t05_ssim": []}
+    m = int(round(1 / downscale))
+    for name in sorted(os.listdir(gt_root)):
+        folder = os.path.join(gt_root, name)
+        if not os.path.isdir(folder):
+            continue
+        gt = _load_frames(folder)
+        H = gt.shape[1] - gt.shape[1] % (m * 2)
+        W = gt.shape[2] - gt.shape[2] % (m * 2)
+        gt = gt[:, :H, :W]
+        lr = host_imresize(gt, downscale)
+        up = host_imresize(lr, float(m))  # bicubic x4 back up
+        inputs_idx = list(range(0, gt.shape[0], 2))
+        for j, gi in enumerate(inputs_idx[:-1]):
+            pred0 = np.clip(up[gi], 0, 1)
+            ref0 = gt[gi]
+            y_p = bgr2ycbcr(pred0[..., ::-1].astype(np.float32))
+            y_r = bgr2ycbcr(ref0[..., ::-1].astype(np.float32))
+            res["t0_psnr"].append(calculate_psnr(y_p * 255, y_r * 255))
+            res["t0_ssim"].append(calculate_ssim(y_p * 255, y_r * 255))
+            if gi + 1 < gt.shape[0]:  # t=0.5: hold the nearest input frame
+                y_p = bgr2ycbcr(pred0[..., ::-1].astype(np.float32))
+                y_r = bgr2ycbcr(gt[gi + 1][..., ::-1].astype(np.float32))
+                res["t05_psnr"].append(calculate_psnr(y_p * 255, y_r * 255))
+                res["t05_ssim"].append(calculate_ssim(y_p * 255, y_r * 255))
+    return {k: float(np.mean(v)) for k, v in res.items()}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("-opt", required=True)
+    ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--gather-dtype", default=None, choices=[None, "bf16"])
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--scenes", type=int, default=4)
+    ap.add_argument("--platform", default=None)
+    ap.add_argument("--eval-root", default="runs/eval_data")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    import jax.numpy as jnp
+
+    from stif_tpu.models.factory import define_g
+    from stif_tpu.runtime import InferencePipeline
+    from stif_tpu.runtime.eval import eval_space_time_sr
+    from stif_tpu.train.checkpoints import CheckpointManager
+    from stif_tpu.utils.config import parse_options
+
+    opt = parse_options(args.opt, is_train=False)
+    if args.gather_dtype == "bf16":
+        opt["network_G"]["gather_dtype"] = "bf16"
+    net = define_g(opt)
+
+    # abstract params (minimal-shape jitted init on CPU), then restore
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        x0 = jnp.zeros((1, 2, 16, 16, 3))
+        t0 = jnp.asarray([0.5])
+        params = jax.jit(
+            lambda: net.init(jax.random.PRNGKey(0), x0, t0,
+                             method=net.full_init))()
+
+    ckpt_dir = (opt.get("path") or {}).get("models")
+    mgr = CheckpointManager(ckpt_dir)
+    step = args.step if args.step is not None else mgr.latest_step()
+    from stif_tpu.train.trainer import TrainConfig, create_train_state
+
+    state, _ = create_train_state(params, TrainConfig())
+    state = mgr.restore(state, step)
+    params = state.params
+    print(f"restored step {int(state.step)} from {ckpt_dir}")
+
+    gt_root = build_eval_set(args.eval_root, n_scenes=args.scenes)
+    baseline = bicubic_baseline(gt_root)
+
+    pipe = InferencePipeline(net, jax.device_put(params, jax.devices()[0]),
+                             scale=4, bucket=8)
+    t0 = time.time()
+    res = eval_space_time_sr(pipe, gt_root, times=(0.5, 0.0))
+    wall = time.time() - t0
+
+    rec = {
+        "protocol": "vid4_space_time_x4 (myutils.test_metric_full)",
+        "checkpoint_step": int(state.step),
+        "gather_dtype": args.gather_dtype or "fp32",
+        "psnr_y": {k: round(v, 3) for k, v in res.psnr.items()},
+        "ssim_y": {k: round(v, 4) for k, v in res.ssim.items()},
+        "mean_psnr_y": round(res.mean_psnr, 3),
+        "mean_ssim_y": round(res.mean_ssim, 4),
+        "avg_window_time_s": round(res.avg_time_s, 3),
+        "wall_s": round(wall, 1),
+        "baseline_bicubic": {k: round(v, 3) for k, v in baseline.items()},
+    }
+    print(json.dumps(rec, indent=2))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(rec, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

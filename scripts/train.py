@@ -73,6 +73,13 @@ def main():
         log.setLevel(logging.INFO)
     niter = args.steps or int(opt["train"]["niter"])
 
+    tb = None
+    if opt.get("use_tb_logger") and models_dir:
+        from stif_tpu.utils.tb import TBWriter
+
+        tb = TBWriter(os.path.join(models_dir, "tb"))
+        log.info("tensorboard events -> %s", tb.path)
+
     dopt = opt["datasets"]["train"]
     mode = dopt["mode"]
     common = dict(gt_root=dopt["dataroot_GT"])
@@ -147,6 +154,11 @@ def main():
                 t0 = time.time()
                 log.info("step %d loss %.4f gnorm %.3f (%.2f it/s)",
                          step, logs["loss"], logs["grad_norm"], rate)
+                if tb:
+                    tb.add_scalar("train/loss", float(logs["loss"]), step)
+                    tb.add_scalar("train/grad_norm",
+                                  float(logs["grad_norm"]), step)
+                    tb.flush()
             if ckpt_freq and step % ckpt_freq == 0 and model.ckpt:
                 model.save()
                 log.info("checkpoint @ %d", step)

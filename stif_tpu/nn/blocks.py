@@ -40,22 +40,15 @@ class Conv(nn.Module):
     bias_init: Optional[Callable] = None  # default: torch U(+-1/sqrt(fan_in))
 
     @nn.compact
-    def __call__(self, x):
+    def weights(self, cin: int):
+        """Declare and return (kernel, bias) for a given input width —
+        lets callers fuse several same-shaped convs into one grouped conv
+        (see ``pcd._dual_conv``) without changing the parameter tree."""
         ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else self.kernel_size
-        st = (self.stride,) * 2 if isinstance(self.stride, int) else self.stride
-        pd = (self.padding,) * 2 if isinstance(self.padding, int) else self.padding
-        cin = x.shape[-1]
         kernel = self.param(
             "kernel", self.kernel_init, (ks[0], ks[1], cin, self.features)
         )
-        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
-                                            ("NHWC", "HWIO", "NHWC"))
-        y = jax.lax.conv_general_dilated(
-            x, kernel.astype(x.dtype),
-            window_strides=st,
-            padding=((pd[0], pd[0]), (pd[1], pd[1])),
-            dimension_numbers=dn,
-        )
+        bias = None
         if self.use_bias:
             fan_in = ks[0] * ks[1] * cin
             bias_init = self.bias_init
@@ -66,6 +59,22 @@ class Conv(nn.Module):
                     return jax.random.uniform(key, shape, dtype, -bound, bound)
 
             bias = self.param("bias", bias_init, (self.features,))
+        return kernel, bias
+
+    def __call__(self, x):
+        ks = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int) else self.kernel_size
+        st = (self.stride,) * 2 if isinstance(self.stride, int) else self.stride
+        pd = (self.padding,) * 2 if isinstance(self.padding, int) else self.padding
+        kernel, bias = self.weights(x.shape[-1])
+        dn = jax.lax.conv_dimension_numbers(x.shape, kernel.shape,
+                                            ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, kernel.astype(x.dtype),
+            window_strides=st,
+            padding=((pd[0], pd[0]), (pd[1], pd[1])),
+            dimension_numbers=dn,
+        )
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 

@@ -48,12 +48,15 @@ class _DeformableLSTMStep(nn.Module):
 
     nf: int = 64
     groups: int = 8
+    gather_dtype: object = None
 
     @nn.compact
     def __call__(self, carry, x_t):
         h, c = carry
-        h_temp = EasyPCD(self.nf, self.groups, name="pcd_h")(x_t, h)
-        c_temp = EasyPCD(self.nf, self.groups, name="pcd_c")(x_t, c)
+        h_temp = EasyPCD(self.nf, self.groups, self.gather_dtype,
+                         name="pcd_h")(x_t, h)
+        c_temp = EasyPCD(self.nf, self.groups, self.gather_dtype,
+                         name="pcd_c")(x_t, c)
         h_next, c_next = ConvLSTMCell(self.nf, name="cell")(x_t, (h_temp, c_temp))
         return (h_next, c_next), h_next
 
@@ -63,6 +66,7 @@ class DeformableConvLSTM(nn.Module):
 
     nf: int = 64
     groups: int = 8
+    gather_dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -82,7 +86,8 @@ class DeformableConvLSTM(nn.Module):
             jnp.zeros((B, H, W, self.nf), x.dtype),
             jnp.zeros((B, H, W, self.nf), x.dtype),
         )
-        _, hs = scan(self.nf, self.groups, name="step")(init, x)
+        _, hs = scan(self.nf, self.groups, self.gather_dtype,
+                     name="step")(init, x)
         return hs  # (B, T, H, W, nf)
 
 
@@ -92,10 +97,12 @@ class BiDeformableConvLSTM(nn.Module):
 
     nf: int = 64
     groups: int = 8
+    gather_dtype: object = None
 
     @nn.compact
     def __call__(self, x):
-        net = DeformableConvLSTM(self.nf, self.groups, name="forward_net")
+        net = DeformableConvLSTM(self.nf, self.groups, self.gather_dtype,
+                                 name="forward_net")
         out_fwd = net(x)
         out_rev = net(x[:, ::-1])[:, ::-1]
         B, T, H, W, C = out_fwd.shape

@@ -13,17 +13,25 @@ Each pass is ONE jitted program reused across chunks (queries padded to a
 chunk multiple), so peak memory scales with the chunk size, not the frame
 size. Exactly equivalent to the unchunked decode (the chunk boundaries cut
 only embarrassingly-parallel query dimensions).
+
+With a ``mesh``, chunks are dispatched device-parallel: each superstep
+evaluates ``n_devices`` chunks in one program with the query axis sharded
+over the mesh (every chip gathers from its replicated copy of the feature
+field), so peak *per-device* memory still scales with the chunk size while
+wall-clock scales down with the device count — the scale-out version of the
+reference's sequential 3-/12-way loops.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from stif_tpu.ops.coords import make_coord
 
@@ -41,10 +49,21 @@ def _base_grid_xy(HH: int, WW: int) -> np.ndarray:
 class ChunkedDecoder:
     """Bind a LunaTokis-family model + params for chunked decoding."""
 
-    def __init__(self, model, params, chunk_size: int = 65536):
+    def __init__(self, model, params, chunk_size: int = 65536,
+                 mesh: Optional[Mesh] = None, mesh_axis: str = "model"):
         self.model = model
-        self.params = params
         self.chunk = chunk_size
+        self.mesh = mesh if (mesh and mesh.shape.get(mesh_axis, 1) > 1) \
+            else None
+        self.mesh_axis = mesh_axis
+        self.n_par = self.mesh.shape[mesh_axis] if self.mesh else 1
+        if self.mesh:
+            # params replicated across the mesh; query inputs sharded on
+            # axis 1 — jit propagates both through the per-query stages
+            params = jax.device_put(params, NamedSharding(self.mesh, P()))
+            self._qshard = NamedSharding(
+                self.mesh, P(None, mesh_axis))
+        self.params = params
         m = model
         self._prep = jax.jit(
             lambda p, f, x, up: m.apply(p, f, x, up, method=m._decode_prep),
@@ -67,9 +86,11 @@ class ChunkedDecoder:
         """feat_t: gen_feat output; returns (nt, B, HH, WW, 3) numpy."""
         HH, WW = out_size
         Q = HH * WW
-        C = min(self.chunk, Q)
-        n_chunks = math.ceil(Q / C)
-        Qp = n_chunks * C
+        # one dispatch covers n_par chunks (query axis sharded over the mesh)
+        C = min(self.chunk, math.ceil(Q / self.n_par))
+        S = C * self.n_par
+        n_steps = math.ceil(Q / S)
+        Qp = n_steps * S
 
         feat, inp_cat, hr_inp = self._prep(self.params, feat_t, inp,
                                            hr_inp_upsample)
@@ -86,21 +107,31 @@ class ChunkedDecoder:
             base_grid = np.concatenate(
                 [base_grid, np.repeat(base_grid[-1:], Qp - Q, 0)], 0)
 
-        # pass 1: stage A+B per chunk
+        def put_queries(x, axis):
+            if self.mesh is None:
+                return jnp.asarray(x)
+            spec = [None] * x.ndim
+            spec[axis] = self.mesh_axis
+            return jax.device_put(x, NamedSharding(self.mesh, P(*spec)))
+
+        # pass 1: stage A+B, n_par device-parallel chunks per dispatch
         hr_chunks, flow_chunks = [], []
-        for i in range(n_chunks):
-            cc = jnp.asarray(coord[i * C:(i + 1) * C])
-            cc = jnp.broadcast_to(cc[None], (B, C, 2))
-            hrf, flw = self._ab(self.params, feat, inp_cat, hr_inp, cc, times)
+        for i in range(n_steps):
+            cc = np.broadcast_to(coord[None, i * S:(i + 1) * S], (B, S, 2))
+            hrf, flw = self._ab(self.params, feat, inp_cat, hr_inp,
+                                put_queries(cc, 1), times)
             hr_chunks.append(hrf)
             flow_chunks.append(flw)
         hrfeat_full = jnp.concatenate(hr_chunks, axis=1)[:, :Q]
         hrfeat_full = hrfeat_full.reshape(nt * B, HH, WW, -1)
+        if self.mesh is not None:  # pass 2 gathers anywhere: replicate
+            hrfeat_full = jax.device_put(
+                hrfeat_full, NamedSharding(self.mesh, P()))
 
-        # pass 2: stage C+D per chunk from the full field
+        # pass 2: stage C+D per dispatch from the full field
         outs = []
-        for i in range(n_chunks):
-            bg = jnp.asarray(base_grid[i * C:(i + 1) * C])
+        for i in range(n_steps):
+            bg = put_queries(base_grid[i * S:(i + 1) * S], 0)
             rgb = self._cd(self.params, hrfeat_full, feat, hr_inp,
                            flow_chunks[i], bg, times, HH, WW)
             outs.append(np.asarray(rgb))

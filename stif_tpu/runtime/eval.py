@@ -29,6 +29,9 @@ class EvalResult:
     ssim: Dict[str, float] = field(default_factory=dict)
     per_time_psnr: List[float] = field(default_factory=list)
     avg_time_s: float = 0.0
+    # "MID PSNR/SSIM" breakdown of the adobe_4x/liif4x/tmnet protocols
+    mid_psnr: float = 0.0
+    mid_ssim: float = 0.0
 
     @property
     def mean_psnr(self) -> float:
@@ -101,6 +104,217 @@ def eval_space_time_sr(pipeline, gt_root: str,
         res.psnr[name] = float(np.mean(psnrs))
         res.ssim[name] = float(np.mean(ssims))
     res.avg_time_s = t_total / max(n_calls, 1)
+    return res
+
+
+def append_logfile(logfile: str, epoch_id, iter_id, cost_s: float,
+                   psnr: float, ssim: float) -> None:
+    """Append an eval line in the reference harnesses' logfile format
+    (``codes/myutils.py:553-555, 1067-1069``)."""
+    with open(logfile, "a") as f:
+        print(
+            "Date: {0}s, Epoch: [{1}/{2}], Cost time: {3:.2f}s, "
+            "Val_PSNR: {4:.2f}, Val_SSIM: {5:.4f}".format(
+                time.strftime("%Y-%m-%d %H:%M:%S", time.localtime()),
+                epoch_id, iter_id, cost_s, psnr, ssim),
+            file=f,
+        )
+
+
+def _metric_pair(pred, ref, y_channel: bool):
+    if y_channel:
+        pred = bgr2ycbcr(pred[..., ::-1].astype(np.float32))
+        ref = bgr2ycbcr(ref[..., ::-1].astype(np.float32))
+    return (calculate_psnr(pred * 255, ref * 255),
+            calculate_ssim(pred * 255, ref * 255))
+
+
+def eval_adobe_4x(pipeline, gt_root: str,
+                  folders: Optional[Sequence[str]] = None,
+                  downscale: float = 1 / 16, stride: int = 4,
+                  y_channel: bool = False,
+                  logfile: Optional[str] = None,
+                  epoch_id: int = 0, iter_id: int = 0) -> EvalResult:
+    """``test_metric_adobe_4x`` LIIF protocol (``codes/myutils.py:941-1077``):
+    x16 spatial SR — input pair (i, i+4) downscaled 1/16, query times
+    {0, 1/4, 1/2, 3/4, 1} against GT frames i..i+4 at full resolution,
+    full-RGB PSNR/SSIM, "MID" = the last (t=1) index, window stride 4.
+
+    The pipeline must be built with ``scale`` matching ``1/downscale``
+    (the continuous decoder handles any scale)."""
+    folders = folders or sorted(
+        d for d in os.listdir(gt_root)
+        if os.path.isdir(os.path.join(gt_root, d))
+    )
+    res = EvalResult()
+    times = [i / 4 for i in range(5)]
+    mid_p, mid_s = [], []
+    t_start = time.time()
+    for name in folders:
+        gt = _load_frames(os.path.join(gt_root, name))
+        m = int(round(1 / downscale))
+        H = gt.shape[1] - gt.shape[1] % (4 * m)
+        W = gt.shape[2] - gt.shape[2] % (4 * m)
+        gt = gt[:, :H, :W]
+        lr = host_imresize(gt, downscale)
+        psnrs, ssims = [], []
+        i = 0
+        while i + 4 < gt.shape[0]:
+            out = pipeline.render_window(np.stack([lr[i], lr[i + 4]]), times)
+            for ti in range(5):
+                p, s = _metric_pair(np.clip(out[ti], 0, 1), gt[i + ti],
+                                    y_channel)
+                psnrs.append(p)
+                ssims.append(s)
+                if ti == 4:
+                    mid_p.append(p)
+                    mid_s.append(s)
+            i += stride
+        res.psnr[name] = float(np.mean(psnrs))
+        res.ssim[name] = float(np.mean(ssims))
+    res.mid_psnr = float(np.mean(mid_p)) if mid_p else 0.0
+    res.mid_ssim = float(np.mean(mid_s)) if mid_s else 0.0
+    res.avg_time_s = time.time() - t_start
+    if logfile:
+        append_logfile(logfile, epoch_id, iter_id, res.avg_time_s,
+                       res.mean_psnr, res.mean_ssim)
+    return res
+
+
+def eval_adobe_liif4x(pipeline, gt_root: str,
+                      folders: Optional[Sequence[str]] = None,
+                      downscale: float = 1 / 16, stride: int = 4,
+                      y_channel: bool = True,
+                      logfile: Optional[str] = None,
+                      epoch_id: int = 0, iter_id: int = 0) -> EvalResult:
+    """``test_metric_adobe_liif4x`` LIIF protocol
+    (``codes/myutils.py:1079-1231``): like :func:`eval_adobe_4x` but only the
+    three *interior* times {1/4, 1/2, 3/4} vs GT frames i+1..i+3, Y-channel
+    metrics, test-mode (tuple-scale) decode."""
+    folders = folders or sorted(
+        d for d in os.listdir(gt_root)
+        if os.path.isdir(os.path.join(gt_root, d))
+    )
+    res = EvalResult()
+    times = [i / 4 for i in range(1, 4)]
+    t_start = time.time()
+    for name in folders:
+        gt = _load_frames(os.path.join(gt_root, name))
+        m = int(round(1 / downscale))
+        H = gt.shape[1] - gt.shape[1] % (4 * m)
+        W = gt.shape[2] - gt.shape[2] % (4 * m)
+        gt = gt[:, :H, :W]
+        lr = host_imresize(gt, downscale)
+        psnrs, ssims = [], []
+        i = 0
+        while i + 4 < gt.shape[0]:
+            out = pipeline.render_window(np.stack([lr[i], lr[i + 4]]), times)
+            for ti in range(3):
+                p, s = _metric_pair(np.clip(out[ti], 0, 1), gt[i + 1 + ti],
+                                    y_channel)
+                psnrs.append(p)
+                ssims.append(s)
+            i += stride
+        res.psnr[name] = float(np.mean(psnrs))
+        res.ssim[name] = float(np.mean(ssims))
+    res.mid_psnr = res.mean_psnr
+    res.mid_ssim = res.mean_ssim
+    res.avg_time_s = time.time() - t_start
+    if logfile:
+        append_logfile(logfile, epoch_id, iter_id, res.avg_time_s,
+                       res.mean_psnr, res.mean_ssim)
+    return res
+
+
+def eval_adobe_tmnet(pipeline, gt_root: str,
+                     folders: Optional[Sequence[str]] = None,
+                     logfile: Optional[str] = None,
+                     epoch_id: int = 0, iter_id: int = 0) -> EvalResult:
+    """``test_metric_adobe_tmnet`` (``codes/myutils.py:1233-1341``): 4-frame
+    TMNet windows (i, i+6, i+12, i+18) downscaled 1/8; GT = the 18 frames
+    i..i+17 at 1/2 scale (x4 model); interior times {1/6..5/6} per pair so
+    the interleaved output covers every GT frame; full-RGB metrics,
+    "MID" = output index 4, window stride 18."""
+    folders = folders or sorted(
+        d for d in os.listdir(gt_root)
+        if os.path.isdir(os.path.join(gt_root, d))
+    )
+    res = EvalResult()
+    times = [i / 6 for i in range(1, 6)]
+    mid_p, mid_s = [], []
+    t_start = time.time()
+    for name in folders:
+        gt_full = _load_frames(os.path.join(gt_root, name))
+        H = gt_full.shape[1] - gt_full.shape[1] % 32
+        W = gt_full.shape[2] - gt_full.shape[2] % 32
+        gt_full = gt_full[:, :H, :W]
+        lr = host_imresize(gt_full, 1 / 8)
+        gt = host_imresize(gt_full, 1 / 2)
+        psnrs, ssims = [], []
+        i = 0
+        while i + 18 < gt.shape[0]:
+            out = pipeline.render_window_tmnet(
+                np.stack([lr[i], lr[i + 6], lr[i + 12], lr[i + 18]]), times)
+            n_eval = min(out.shape[0] - 1, 18)
+            for j in range(n_eval):
+                p, s = _metric_pair(np.clip(out[j], 0, 1), gt[i + j],
+                                    y_channel=False)
+                psnrs.append(p)
+                ssims.append(s)
+                if j == 4:
+                    mid_p.append(p)
+                    mid_s.append(s)
+            i += 18
+        res.psnr[name] = float(np.mean(psnrs))
+        res.ssim[name] = float(np.mean(ssims))
+    res.mid_psnr = float(np.mean(mid_p)) if mid_p else 0.0
+    res.mid_ssim = float(np.mean(mid_s)) if mid_s else 0.0
+    res.avg_time_s = time.time() - t_start
+    if logfile:
+        append_logfile(logfile, epoch_id, iter_id, res.avg_time_s,
+                       res.mean_psnr, res.mean_ssim)
+    return res
+
+
+def eval_vid4_tmnet(pipeline, gt_root: str,
+                    folders: Optional[Sequence[str]] = None,
+                    logfile: Optional[str] = None,
+                    epoch_id: int = 0, iter_id: int = 0) -> EvalResult:
+    """``test_metric_full_tmnet`` (``codes/myutils.py:1343-1426``): Vid4 with
+    4-frame TMNet windows of every-2nd LR frames, times {1/8..7/8}; of the
+    interleaved outputs only j in {0, 4, 8, ...} land on GT frames
+    (2i + j/4); Y-channel metrics; window stride 1."""
+    folders = folders or sorted(
+        d for d in os.listdir(gt_root)
+        if os.path.isdir(os.path.join(gt_root, d))
+    )
+    res = EvalResult()
+    times = [i / 8 for i in range(1, 8)]
+    t_start = time.time()
+    for name in folders:
+        gt = _load_frames(os.path.join(gt_root, name))
+        H = gt.shape[1] - gt.shape[1] % 16
+        W = gt.shape[2] - gt.shape[2] % 16
+        gt = gt[:, :H, :W]
+        lr = host_imresize(gt, 0.25)
+        inputs = lr[::2]
+        psnrs, ssims = [], []
+        for i in range(inputs.shape[0] - 3):
+            out = pipeline.render_window_tmnet(inputs[i: i + 4], times)
+            for j in range(0, out.shape[0] - 1, 4):
+                gt_idx = 2 * i + j // 4
+                if gt_idx >= gt.shape[0]:
+                    continue
+                p, s = _metric_pair(np.clip(out[j], 0, 1), gt[gt_idx],
+                                    y_channel=True)
+                psnrs.append(p)
+                ssims.append(s)
+        res.psnr[name] = float(np.mean(psnrs))
+        res.ssim[name] = float(np.mean(ssims))
+    res.avg_time_s = time.time() - t_start
+    if logfile:
+        append_logfile(logfile, epoch_id, iter_id, res.avg_time_s,
+                       res.mean_psnr, res.mean_ssim)
     return res
 
 

@@ -128,6 +128,36 @@ class InferencePipeline:
         out = np.asarray(self._cache[key](self.params, x, t))[0]
         return out[:, : h * 4, : w * 4]
 
+    def render_pairs(self, pairs: np.ndarray, times: Sequence[float],
+                     chunk_size: int = 65536) -> np.ndarray:
+        """Batched-pair decode: (B, 2, H, W, 3) distinct LR pairs ->
+        (B, nt, HH, WW, 3).
+
+        The encoder runs at batch B in one program (amortizing dispatch and
+        small-op overhead across pairs); the decoder goes through the
+        ChunkedDecoder so the B*nt query set stays memory-bounded (a full
+        B>=2 decode at production sizes OOMs)."""
+        from stif_tpu.runtime.chunked import ChunkedDecoder
+
+        x, (h, w) = pad_to_multiple(pairs, 4, self.bucket)
+        x = jnp.asarray(x)
+        key = ("genfeat", tuple(x.shape))
+        if key not in self._cache:
+            m = self.model
+            self._cache[key] = jax.jit(
+                lambda p, x: m.apply(p, x, method=m.gen_feat))
+        feat = self._cache[key](self.params, x)
+        if not hasattr(self, "_chunked") or self._chunked.chunk != chunk_size:
+            self._chunked = ChunkedDecoder(self.model, self.params,
+                                           chunk_size=chunk_size)
+        hp, wp = x.shape[2], x.shape[3]
+        out = self._chunked.decode(
+            feat, x, jnp.asarray(np.asarray(times, np.float32)),
+            (hp * self.scale, wp * self.scale),
+            hr_inp_upsample=self.test_mode)
+        out = np.moveaxis(out, 0, 1)  # (B, nt, HH, WW, 3)
+        return out[:, :, : h * self.scale, : w * self.scale]
+
     def render_sequence(self, frames: np.ndarray, n_times: int = 8):
         """Stream a long sequence (T, H, W, 3) through overlapping frame
         pairs, ``n_times`` interpolated frames per pair (the

@@ -73,6 +73,142 @@ def calculate_ssim(img1: np.ndarray, img2: np.ndarray) -> float:
     raise ValueError("wrong input image dimensions")
 
 
+# ---------------------------------------------------- torch-convention SSIM
+#
+# The reference carries a second family of SSIM implementations in
+# ``codes/myutils.py:47-187`` (torch, replicate-padded convolutions) used by
+# several of its eval harnesses. NumPy equivalents via separable
+# correlations; ``scipy.ndimage.correlate1d(mode="nearest")`` reproduces
+# replicate padding + valid convolution exactly.
+
+
+def _gauss1d(n: int, sigma: float = 1.5) -> np.ndarray:
+    g = np.exp(-((np.arange(n) - n // 2) ** 2) / (2.0 * sigma ** 2))
+    return g / g.sum()
+
+
+def _val_range(img1: np.ndarray) -> float:
+    """Auto value range like ``myutils.ssim`` (``:49-59``)."""
+    max_val = 255.0 if img1.max() > 128 else 1.0
+    min_val = -1.0 if img1.min() < -0.5 else 0.0
+    return max_val - min_val
+
+
+def _to_chw(img: np.ndarray) -> np.ndarray:
+    img = np.asarray(img, np.float64)
+    if img.ndim == 2:
+        return img[None]
+    return np.moveaxis(img, -1, 0)  # HWC -> CHW
+
+
+def ssim_torch(img1: np.ndarray, img2: np.ndarray, window_size: int = 11,
+               val_range=None, full: bool = False):
+    """Replicate-padded per-channel windowed SSIM — the torch ``ssim`` of
+    ``codes/myutils.py:47-102``. Inputs (H, W[, C]) floats.
+
+    The reference pads by 5 regardless of window size and shrinks the window
+    to ``min(11, H, W)``; both quirks are preserved.
+    """
+    from scipy.ndimage import correlate1d
+
+    x = _to_chw(img1)
+    y = _to_chw(img2)
+    L = val_range if val_range is not None else _val_range(x)
+    C, H, W = x.shape
+    n = min(window_size, H, W)
+    g = _gauss1d(n)
+    pad = 5  # fixed in the reference even when the window shrinks
+
+    def filt(z):
+        # replicate-pad 5 on H/W, then valid-correlate the n-tap gaussian
+        z = np.pad(z, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
+        z = correlate1d(z, g, axis=1, mode="constant")
+        z = correlate1d(z, g, axis=2, mode="constant")
+        a = n // 2
+        b = n - 1 - a
+        return z[:, a: z.shape[1] - b, a: z.shape[2] - b]
+
+    mu1, mu2 = filt(x), filt(y)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    s1 = filt(x * x) - mu1_sq
+    s2 = filt(y * y) - mu2_sq
+    s12 = filt(x * y) - mu1_mu2
+    C1 = (0.01 * L) ** 2
+    C2 = (0.03 * L) ** 2
+    v1 = 2.0 * s12 + C2
+    v2 = s1 + s2 + C2
+    cs = float(np.mean(v1 / v2))
+    ssim_map = ((2 * mu1_mu2 + C1) * v1) / ((mu1_sq + mu2_sq + C1) * v2)
+    ret = float(ssim_map.mean())
+    return (ret, cs) if full else ret
+
+
+def ssim_matlab(img1: np.ndarray, img2: np.ndarray, window_size: int = 11,
+                val_range: float = 1.0) -> float:
+    """MATLAB-style volumetric SSIM — ``codes/myutils.py:105-158``: the
+    (C, H, W) image is treated as a 3-D volume and windowed with an
+    11x11x11 separable gaussian, replicate padding 5 on all three axes
+    (including channels)."""
+    x = _to_chw(img1)
+    y = _to_chw(img2)
+    L = val_range if val_range is not None else _val_range(x)
+    C, H, W = x.shape
+    n = min(window_size, H, W)  # reference checks H/W only, not C
+    g = _gauss1d(n)
+    pad = 5
+
+    def filt(z):
+        z = np.pad(z, pad, mode="edge")
+        for ax in range(3):
+            from scipy.ndimage import correlate1d
+
+            z = correlate1d(z, g, axis=ax, mode="constant")
+        a = n // 2
+        b = n - 1 - a
+        return z[a: z.shape[0] - b, a: z.shape[1] - b, a: z.shape[2] - b]
+
+    mu1, mu2 = filt(x), filt(y)
+    mu1_sq, mu2_sq, mu1_mu2 = mu1 ** 2, mu2 ** 2, mu1 * mu2
+    s1 = filt(x * x) - mu1_sq
+    s2 = filt(y * y) - mu2_sq
+    s12 = filt(x * y) - mu1_mu2
+    C1 = (0.01 * L) ** 2
+    C2 = (0.03 * L) ** 2
+    v1 = 2.0 * s12 + C2
+    v2 = s1 + s2 + C2
+    ssim_map = ((2 * mu1_mu2 + C1) * v1) / ((mu1_sq + mu2_sq + C1) * v2)
+    return float(ssim_map.mean())
+
+
+def msssim(img1: np.ndarray, img2: np.ndarray, window_size: int = 11,
+           val_range=None, normalize: bool = False) -> float:
+    """Multi-scale SSIM — ``codes/myutils.py:161-187``, including its quirky
+    final product ``prod(pow1[:-1] * pow2[-1])`` (the top-level SSIM term is
+    broadcast into all four lower-level factors)."""
+    weights = np.array([0.0448, 0.2856, 0.3001, 0.2363, 0.1333])
+    x = _to_chw(img1)
+    y = _to_chw(img2)
+    mssim, mcs = [], []
+    for _ in range(len(weights)):
+        s, cs = ssim_torch(np.moveaxis(x, 0, -1), np.moveaxis(y, 0, -1),
+                           window_size=window_size, val_range=val_range,
+                           full=True)
+        mssim.append(s)
+        mcs.append(cs)
+        # avg_pool2d 2x2, stride 2, floor
+        Hh, Ww = (x.shape[1] // 2) * 2, (x.shape[2] // 2) * 2
+        x = x[:, :Hh, :Ww].reshape(x.shape[0], Hh // 2, 2, Ww // 2, 2).mean((2, 4))
+        y = y[:, :Hh, :Ww].reshape(y.shape[0], Hh // 2, 2, Ww // 2, 2).mean((2, 4))
+    mssim = np.array(mssim)
+    mcs = np.array(mcs)
+    if normalize:
+        mssim = (mssim + 1) / 2
+        mcs = (mcs + 1) / 2
+    pow1 = mcs ** weights
+    pow2 = mssim ** weights
+    return float(np.prod(pow1[:-1] * pow2[-1]))
+
+
 # ------------------------------------------------------------------- color
 
 _YCBCR_W = np.array(

@@ -61,6 +61,56 @@ def setup_logger(name: str = "base", log_file: str = None,
     return logger
 
 
+class ProgressBar:
+    """Terminal progress bar with rate/ETA — capability parity with the
+    reference's ``ProgressBar`` (``codes/utils/util.py:199-246``), written
+    for dumb terminals too (single-line carriage-return redraw instead of
+    ANSI cursor movement)."""
+
+    def __init__(self, task_num: int = 0, bar_width: int = 50,
+                 start: bool = True, stream=None):
+        import sys
+
+        self.task_num = task_num
+        self.stream = stream or sys.stdout
+        cols = shutil.get_terminal_size().columns
+        self.bar_width = max(10, min(bar_width, int(cols * 0.6), cols - 50))
+        self.completed = 0
+        self.start_time = time.time()
+        if start:
+            self.start()
+
+    def start(self):
+        if self.task_num > 0:
+            self.stream.write(
+                f"[{' ' * self.bar_width}] 0/{self.task_num}, ETA: --\r")
+        else:
+            self.stream.write("completed: 0, elapsed: 0s\r")
+        self.stream.flush()
+        self.start_time = time.time()
+
+    def update(self, msg: str = ""):
+        self.completed += 1
+        elapsed = max(time.time() - self.start_time, 1e-9)
+        rate = self.completed / elapsed
+        if self.task_num > 0:
+            pct = self.completed / float(self.task_num)
+            eta = int(elapsed * (1 - pct) / max(pct, 1e-9) + 0.5)
+            mark = int(self.bar_width * pct)
+            bar = ">" * mark + "-" * (self.bar_width - mark)
+            self.stream.write(
+                f"[{bar}] {self.completed}/{self.task_num}, "
+                f"{rate:.1f} task/s, elapsed: {int(elapsed + 0.5)}s, "
+                f"ETA: {eta:5d}s {msg}\r")
+            if self.completed == self.task_num:
+                self.stream.write("\n")
+        else:
+            self.stream.write(
+                f"completed: {self.completed}, "
+                f"elapsed: {int(elapsed + 0.5)}s, {rate:.1f} tasks/s\r")
+        self.stream.flush()
+
+
 @contextmanager
 def trace_span(name: str, log: bool = False):
     """jax.profiler annotation + wall-clock span."""

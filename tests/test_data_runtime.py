@@ -186,6 +186,29 @@ class TestChunkedDecoder:
         got = dec.decode(feat, x, times, (32, 32), hr_inp_upsample=True)
         np.testing.assert_allclose(got, want, atol=2e-5)
 
+    @pytest.mark.slow
+    def test_mesh_parallel_dispatch(self, rng):
+        """Device-parallel chunks over the 8-device CPU mesh equal the
+        single-device chunked (and direct) decode."""
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.parallel.mesh import make_mesh
+        from stif_tpu.runtime.chunked import ChunkedDecoder
+
+        mesh = make_mesh({"model": 8})
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        x = jnp.asarray(rng.random((1, 2, 8, 12, 3)).astype(np.float32))
+        times = jnp.asarray([0.0, 0.5])
+        params = model.init(jax.random.PRNGKey(0), x, times,
+                            method=model.full_init)
+        feat = model.apply(params, x, method=model.gen_feat)
+        want = np.asarray(model.apply(params, feat, x, times,
+                                      method=model.decode))
+        # Q = 32*48 = 1536; chunk 128 x 8 devices = 1024/superstep -> 2 steps
+        dec = ChunkedDecoder(model, params, chunk_size=128, mesh=mesh)
+        assert dec.n_par == 8
+        got = dec.decode(feat, x, times, (32, 48))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
 
 class TestTMNetPipeline:
     @pytest.mark.slow
@@ -202,3 +225,40 @@ class TestTMNetPipeline:
         out = pipe.render_window_tmnet(frames, [0.25, 0.75])
         # T = 1 + t_N + 1 = 4 outputs at fixed x4
         assert out.shape == (4, 40, 56, 3)
+
+
+class TestBatchedPairs:
+    @pytest.mark.slow
+    def test_render_pairs_matches_per_pair(self, rng):
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.runtime import InferencePipeline
+
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        x = jnp.zeros((1, 2, 8, 8, 3))
+        params = model.init(jax.random.PRNGKey(0), x, jnp.asarray([0.5]),
+                            method=model.full_init)
+        pipe = InferencePipeline(model, params, scale=4, bucket=4)
+        pairs = rng.random((2, 2, 8, 12, 3)).astype(np.float32)
+        out = pipe.render_pairs(pairs, [0.0, 0.5], chunk_size=512)
+        assert out.shape == (2, 2, 32, 48, 3)
+        for b in range(2):
+            want = pipe.render_window(pairs[b], [0.0, 0.5])
+            np.testing.assert_allclose(out[b], want, atol=3e-5)
+
+
+class TestTensorBoardWriter:
+    def test_roundtrip_and_crc(self, tmp_path):
+        from stif_tpu.utils.tb import TBWriter, read_events, crc32c
+
+        # RFC 3720 known-answer vectors
+        assert crc32c(b"123456789") == 0xE3069283
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+        w = TBWriter(str(tmp_path))
+        w.add_scalar("train/loss", 1.5, 10)
+        w.add_scalar("train/psnr", 30.25, 20)
+        w.close()
+        evs = read_events(w.path)
+        assert evs[0]["file_version"] == "brain.Event:2"
+        assert evs[1] == {**evs[1], "tag": "train/loss", "step": 10}
+        assert abs(evs[1]["value"] - 1.5) < 1e-6
+        assert abs(evs[2]["value"] - 30.25) < 1e-6

@@ -315,3 +315,29 @@ class TestDegenerateGather:
                       for q in range(6)]) for b in range(B)
         ])
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestFusedPCDDirections:
+    def test_fused_matches_unfused(self, rng):
+        """Direction-fused grouped convs are numerically identical to the
+        two sequential directions and share the exact parameter tree."""
+        import jax
+        import jax.numpy as jnp
+
+        from stif_tpu.nn.pcd import PCDAlign
+
+        f1 = [jnp.asarray(rng.random((2, 16, 20, 16)), jnp.float32),
+              jnp.asarray(rng.random((2, 8, 10, 16)), jnp.float32),
+              jnp.asarray(rng.random((2, 4, 5, 16)), jnp.float32)]
+        f2 = [jnp.asarray(rng.random(x.shape), jnp.float32) for x in f1]
+        fused = PCDAlign(nf=16, groups=4, fuse_dirs=True)
+        plain = PCDAlign(nf=16, groups=4, fuse_dirs=False)
+        pf = fused.init(jax.random.PRNGKey(0), f1, f2)
+        pu = plain.init(jax.random.PRNGKey(0), f1, f2)
+        tf = jax.tree_util.tree_leaves_with_path(pf)
+        tu = jax.tree_util.tree_leaves_with_path(pu)
+        assert [k for k, _ in tf] == [k for k, _ in tu]
+        for (k, a), (_, b) in zip(tf, tu):
+            np.testing.assert_array_equal(a, b, err_msg=str(k))
+        np.testing.assert_allclose(
+            fused.apply(pu, f1, f2), plain.apply(pu, f1, f2), atol=1e-6)
