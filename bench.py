@@ -51,7 +51,9 @@ def _build():
 
     from stif_tpu.models import LunaTokis
 
-    model = LunaTokis()
+    gd = os.environ.get("BENCH_GATHER_DTYPE")  # "bf16" after PSNR validation
+    model = LunaTokis(
+        gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None)
     rng = np.random.default_rng(0)
     xn = rng.random((1, 2, LR_H, LR_W, 3)).astype(np.float32)
     tn = np.asarray([i / N_TIMES for i in range(N_TIMES)], np.float32)

@@ -285,7 +285,8 @@ class LunaTokisS(nn.Module):
 @register_model("LunaTokisNoFlow")
 class LunaTokisNoFlow(nn.Module):
     """Pure-LIIF ablation: single SIREN 201->3, no flow/warp stages
-    (``Sakuya_arch_test_noflow.py``)."""
+    (``Sakuya_arch_test_noflow.py:303-304``: ``feat_imnet`` with hidden
+    [64, 64, 256, 256, 256], decoding over the first 3 feature maps)."""
 
     nf: int = 64
     nframes: int = 6
@@ -297,12 +298,13 @@ class LunaTokisNoFlow(nn.Module):
     def setup(self):
         self.encoder = _Encoder(self.nf, self.groups, self.front_RBs,
                                 self.back_RBs)
-        self.encode_imnet = Siren([64, 64, 256], 2, 3, outermost_linear=True,
-                                  use_pallas=self.use_pallas)
+        self.feat_imnet = Siren([64, 64, 256, 256, 256], 4, 3,
+                                outermost_linear=True,
+                                use_pallas=self.use_pallas)
 
     def __call__(self, x, times, out_size=None):
         feat_t = self.encoder(x)
-        feat = feat_t.transpose(0, 2, 3, 1, 4)
+        feat = feat_t[:, :3].transpose(0, 2, 3, 1, 4)
         B, H, W = feat.shape[0], feat.shape[1], feat.shape[2]
         feat = feat.reshape(B, H, W, -1)
         N = x.shape[1]
@@ -327,5 +329,5 @@ class LunaTokisNoFlow(nn.Module):
         base = jnp.concatenate([q_feat, q_inp, rel], axis=-1)
         base = jnp.broadcast_to(base[None], (nt,) + base.shape)
         pe = jnp.broadcast_to(t_nb[:, :, None, None], (nt, B, Q, 1))
-        rgb = self.encode_imnet(jnp.concatenate([base, pe], axis=-1))
+        rgb = self.feat_imnet(jnp.concatenate([base, pe], axis=-1))
         return rgb.reshape(nt, B, HH, WW, 3)

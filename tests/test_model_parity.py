@@ -229,3 +229,59 @@ class TestTMNetParity:
         got = np.asarray(got).transpose(0, 1, 4, 2, 3)
         assert got.shape == want.shape
         np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+class TestSVariantParity:
+    """LunaTokisS (no feat_imnet; flow from encoder features, time-free
+    stage D — ``Sakuya_arch_test_S.py:305-308``) vs torch mirror."""
+
+    CFG = dict(nf=16, nframes=6, groups=4, front_RBs=2, back_RBs=2)
+
+    def test_forward(self, rng):
+        from stif_tpu.models.luna_tokis_variants import LunaTokisS
+
+        model = LunaTokisS(**self.CFG)
+        x = rng.random((1, 2, 3, H, W)).astype(np.float32)
+        times_np = np.asarray([0.0, 0.5, 1.0], np.float32)
+        params = model.init(jax.random.PRNGKey(5),
+                            jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                            jnp.asarray(times_np))
+        mirror = torch_mirror.LunaTokisS(**self.CFG)
+        torch_mirror.load_flax_params(mirror, params)
+        mirror.eval()
+        with torch.no_grad():
+            want = np.stack([w.numpy() for w in mirror(
+                torch.from_numpy(x), [torch.tensor(t) for t in times_np])])
+        got = model.apply(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                          jnp.asarray(times_np))
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)
+
+
+class TestNoFlowParity:
+    """LunaTokisNoFlow (single feat_imnet 201->3 pure-LIIF decode —
+    ``Sakuya_arch_test_noflow.py:303-304``) vs torch mirror."""
+
+    CFG = dict(nf=16, nframes=6, groups=4, front_RBs=2, back_RBs=2)
+
+    def test_forward(self, rng):
+        from stif_tpu.models.luna_tokis_variants import LunaTokisNoFlow
+
+        model = LunaTokisNoFlow(**self.CFG)
+        x = rng.random((1, 2, 3, H, W)).astype(np.float32)
+        times_np = np.asarray([0.25, 0.75], np.float32)
+        params = model.init(jax.random.PRNGKey(6),
+                            jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                            jnp.asarray(times_np))
+        mirror = torch_mirror.LunaTokisNoFlow(**self.CFG)
+        torch_mirror.load_flax_params(mirror, params)
+        mirror.eval()
+        with torch.no_grad():
+            want = np.stack([w.numpy() for w in mirror(
+                torch.from_numpy(x), [torch.tensor(t) for t in times_np])])
+        got = model.apply(params, jnp.asarray(x.transpose(0, 1, 3, 4, 2)),
+                          jnp.asarray(times_np))
+        got = np.asarray(got).transpose(0, 1, 4, 2, 3)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, atol=5e-5)

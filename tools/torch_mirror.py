@@ -602,6 +602,118 @@ class LunaTokisTrain(nn.Module):
         return preds
 
 
+# ------------------------------------------------- S / noflow ablations
+
+
+class LunaTokisS(nn.Module):
+    """Mirror of ``Sakuya_arch_test_S.py``: no feat_imnet — flow straight
+    from the encoder feature (201->4, ``:305-306``), RGB from the two warped
+    feature/HR-image samples with no time code (396->3, ``:307-308``)."""
+
+    def __init__(self, nf=64, nframes=6, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.nf = nf
+        self.encoder = EncoderM(nf, groups, front_RBs, back_RBs)
+        self.flow_imnet = Siren(3 * nf + 9, [64, 64, 256], 2, 4)
+        self.encode_imnet = Siren(6 * nf + 12, [64, 64, 256, 256], 3, 3)
+
+    def forward(self, x, times):
+        feat_t = self.encoder(x)
+        feat = torch.cat([feat_t[:, 0], feat_t[:, 1], feat_t[:, 2]], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        inp_cat = x.reshape(bs, -1, H, W)
+        hr_inp = F.interpolate(inp_cat, scale_factor=4, mode="bilinear",
+                               align_corners=False)
+        preds = []
+        for t in times:
+            q_feat = gs(feat, coord_hr, "nearest")
+            q_inp = gs(inp_cat, coord_hr, "nearest")
+            q_coord = gs(feat_coord, coord_hr, "nearest")
+            rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+            pe = torch.ones_like(coord_hr[:, :, :1]) * t
+            flow = self.flow_imnet(torch.cat([q_feat, q_inp, rel, pe], -1))
+            flow = flow.permute(0, 2, 1).view(bs, 4, HH, WW)
+
+            def wgrid(fl):
+                hor = torch.linspace(-1, 1, WW).view(1, 1, 1, WW).expand(
+                    bs, 1, HH, WW)
+                ver = torch.linspace(-1, 1, HH).view(1, 1, HH, 1).expand(
+                    bs, 1, HH, WW)
+                base = torch.cat([hor, ver], 1)
+                fn = torch.cat(
+                    [fl[:, 0:1] / ((WW - 1) / 2), fl[:, 1:2] / ((HH - 1) / 2)],
+                    1)
+                return (base + fn).permute(0, 2, 3, 1)
+
+            g1 = wgrid(flow[:, :2]).view(bs, -1, 2).clamp(-1 + 1e-6, 1 - 1e-6)
+            g2 = wgrid(flow[:, 2:]).view(bs, -1, 2).clamp(-1 + 1e-6, 1 - 1e-6)
+            g1, g2 = g1.flip(-1), g2.flip(-1)
+            q_img1 = gs(hr_inp, g1, "bilinear")
+            q_feat3 = gs(feat, g1, "bilinear")
+            q_img2 = gs(hr_inp, g2, "bilinear")
+            q_feat4 = gs(feat, g2, "bilinear")
+            rgb = self.encode_imnet(
+                torch.cat([q_feat3, q_feat4, q_img1, q_img2], -1))
+            preds.append(rgb.permute(0, 2, 1).view(bs, 3, HH, WW))
+        return preds
+
+
+class LunaTokisNoFlow(nn.Module):
+    """Mirror of ``Sakuya_arch_test_noflow.py``: pure LIIF — one SIREN
+    (``feat_imnet``, 201->3, hidden [64, 64, 256, 256, 256], ``:303-304``)
+    over nearest gathers + rel coord + time code."""
+
+    def __init__(self, nf=64, nframes=6, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.nf = nf
+        self.encoder = EncoderM(nf, groups, front_RBs, back_RBs)
+        self.feat_imnet = Siren(3 * nf + 9, [64, 64, 256, 256, 256], 4, 3)
+
+    def forward(self, x, times):
+        feat_t = self.encoder(x)
+        feat = torch.cat([feat_t[:, 0], feat_t[:, 1], feat_t[:, 2]], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        inp_cat = x.reshape(bs, -1, H, W)
+        preds = []
+        for t in times:
+            q_feat = gs(feat, coord_hr, "nearest")
+            q_inp = gs(inp_cat, coord_hr, "nearest")
+            q_coord = gs(feat_coord, coord_hr, "nearest")
+            rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+            pe = torch.ones_like(coord_hr[:, :, :1]) * t
+            rgb = self.feat_imnet(torch.cat([q_feat, q_inp, rel, pe], -1))
+            preds.append(rgb.permute(0, 2, 1).view(bs, 3, HH, WW))
+        return preds
+
+
 # ---------------------------------------------------------------- TMNet
 # Mirror of the reference TMNet semantics (``codes/models/modules/STVSR.py``):
 # PCD alignment with TMB time modulation on the last offset conv of each
