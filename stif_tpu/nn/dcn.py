@@ -24,6 +24,9 @@ class DCNSep(nn.Module):
     dilation: int = 1
     deformable_groups: int = 8
     gather_dtype: object = None  # e.g. jnp.bfloat16: faster, lossier gathers
+    impl: str = "auto"           # "auto"/"patch" gather | "dense" shifts
+    shift_bound: int = 6         # dense impl: max |shift| covered (exact iff
+                                 # dcn_shift_stats(offsets) <= this)
 
     @nn.compact
     def __call__(self, x, fea):
@@ -49,5 +52,6 @@ class DCNSep(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         return deform_conv2d(x, offset, mask, weight, bias,
                              stride=self.stride, padding=self.padding,
-                             dilation=self.dilation,
-                             gather_dtype=self.gather_dtype)
+                             dilation=self.dilation, impl=self.impl,
+                             gather_dtype=self.gather_dtype,
+                             shift_bound=self.shift_bound)

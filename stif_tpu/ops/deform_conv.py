@@ -20,6 +20,13 @@ No fused Pallas kernel exists for this op: Mosaic's in-kernel gather support
 cannot express the per-query dynamic patch reads (measured round 1 — see
 ROUND_NOTES.md "dead ends"), and the XLA graph here already keeps the
 contraction on the MXU with the gathers as the bound resource.
+
+Two implementations share the exact semantics:
+  * ``impl='patch'`` — batched 2x2xC patch gathers (exact for ANY offsets);
+  * ``impl='dense'`` — gather-free static-shift one-hot contraction
+    (``_dcn_dense_shift``), exact iff sample displacements fit
+    ``shift_bound`` (validate with ``dcn_shift_stats``); trades the
+    gather bottleneck for dense VPU math.
 """
 
 from __future__ import annotations
@@ -30,6 +37,21 @@ import jax
 import jax.numpy as jnp
 
 IntPair = Union[int, Tuple[int, int]]
+
+# Process-wide default for impl="auto" call sites: lets the bench/eval
+# drivers flip every DCN in a model to the dense-shift path without plumbing
+# a parameter through each module. Set BEFORE tracing/jitting (the choice is
+# baked into the compiled program).
+_DEFAULT_IMPL = "patch"
+
+
+def set_dcn_impl(impl: str):
+    """Set the implementation used by impl='auto' DCN calls:
+    'patch' (gather, exact for any offsets) or 'dense' (static shifts,
+    exact iff offsets fit the call's shift_bound)."""
+    global _DEFAULT_IMPL
+    assert impl in ("patch", "dense")
+    _DEFAULT_IMPL = impl
 
 
 def _pair(v: IntPair) -> Tuple[int, int]:
@@ -200,6 +222,102 @@ def _dcn_patch_gather(x, py, px, mask, weight, bias, G, gather_dtype=None):
     return out
 
 
+def _dcn_dense_shift(x, py, px, mask, weight, bias, G, Ho, Wo,
+                     shift_bound: int):
+    """Gather-free DCN core for bounded offsets.
+
+    The model's DCN queries are the pixel grid itself (stride 1, same-size),
+    so a bilinear corner read at ``p + p_k + delta`` is the input image
+    *statically shifted* by ``s = corner - p``. When ``|s| <= shift_bound``
+    every per-query gather becomes a one-hot selection over a small shift
+    axis — dense VPU/MXU math, no ``lax.gather`` (TPU gathers run at
+    ~20-50M idx/s and bound the encoder; see ROUND_NOTES).
+
+    Exactness: identical to the gather path (same separable corner weights,
+    same zero-padding semantics) whenever all sample displacements satisfy
+    ``|floor(p_sample) - p| + 1 <= shift_bound``; out-of-bound displacements
+    are silently clamped to the nearest in-range shift (use
+    ``dcn_shift_stats`` to validate a trained checkpoint before enabling).
+
+    x: (B, H, W, Cin); py/px: (B, Q, G, K); mask: (B, Q, G, K).
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    CpG = Cin // G
+    f32 = jnp.float32
+    S = int(shift_bound)
+    U = 2 * S + 1
+
+    yq = jnp.broadcast_to(
+        jnp.arange(Ho, dtype=f32)[:, None], (Ho, Wo)).reshape(1, -1, 1, 1)
+    xq = jnp.broadcast_to(
+        jnp.arange(Wo, dtype=f32)[None, :], (Ho, Wo)).reshape(1, -1, 1, 1)
+
+    def axis_sel(p, q, n):
+        """Separable corner weights + one-hot shift selections for one axis.
+        Returns (U,)-last tensors AY(b,q,g,k,u)."""
+        p0 = jnp.floor(p)
+        l = p - p0
+        i0 = p0.astype(jnp.int32)
+        i1 = i0 + 1
+        w0 = jnp.where((i0 >= 0) & (i0 < n), 1.0 - l, 0.0)
+        w1 = jnp.where((i1 >= 0) & (i1 < n), l, 0.0)
+        qi = q.astype(jnp.int32)
+        r0 = jnp.clip(jnp.clip(i0, 0, n - 1) - qi + S, 0, U - 1)
+        r1 = jnp.clip(jnp.clip(i1, 0, n - 1) - qi + S, 0, U - 1)
+        u = jnp.arange(U, dtype=jnp.int32)
+        sel = (w0[..., None] * (r0[..., None] == u)
+               + w1[..., None] * (r1[..., None] == u))
+        return sel.astype(f32)
+
+    AY = axis_sel(py.astype(f32), yq, H)   # (B, Q, G, K, U)
+    AX = axis_sel(px.astype(f32), xq, W)
+    AY = AY.reshape(B, Ho, Wo, G, K, U)
+    AX = AX.reshape(B, Ho, Wo, G, K, U)
+
+    xg = x.astype(f32).reshape(B, H, W, G, CpG)
+    xpad = jnp.pad(xg, ((0, 0), (S, S), (S, S), (0, 0), (0, 0)))
+
+    def body(acc, inputs):
+        u, ay_u = inputs  # ay_u: (B, Ho, Wo, G, K)
+        xrow = jax.lax.dynamic_slice(
+            xpad, (0, u, 0, 0, 0), (B, H, W + 2 * S, G, CpG))
+        xs = jnp.stack([xrow[:, :, v:v + W] for v in range(U)], axis=0)
+        tmp = jnp.einsum("vbhwgc,bhwgkv->bhwgkc", xs, AX,
+                         preferred_element_type=f32)
+        return acc + ay_u[..., None] * tmp, None
+
+    acc0 = jnp.zeros((B, Ho, Wo, G, K, CpG), f32)
+    col, _ = jax.lax.scan(
+        body, acc0, (jnp.arange(U, dtype=jnp.int32),
+                     jnp.moveaxis(AY, -1, 0)))
+    col = col * mask.astype(f32).reshape(B, Ho, Wo, G, K, 1)
+    wr = weight.astype(f32).reshape(K, G, CpG, Cout)
+    out = jnp.einsum("bhwgkc,kgco->bhwo", col, wr,
+                     preferred_element_type=f32)
+    if bias is not None:
+        out = out + bias.astype(f32)
+    return out
+
+
+def dcn_shift_stats(offset, kernel_size: IntPair = 3,
+                    dilation: IntPair = 1):
+    """Max |shift| a dense DCN needs for these offsets: validates a trained
+    checkpoint's offsets against a ``shift_bound`` before enabling
+    ``impl='dense'``. Returns the scalar max over (dy+tap, dx+tap) + 1."""
+    kh, kw = _pair(kernel_size)
+    dh, dw = _pair(dilation)
+    K = kh * kw
+    ti = (jnp.arange(kh, dtype=jnp.float32) * dh - (kh // 2) * dh)
+    tj = (jnp.arange(kw, dtype=jnp.float32) * dw - (kw // 2) * dw)
+    ti = ti[:, None].repeat(kw, 1).reshape(K)
+    tj = tj[None, :].repeat(kh, 0).reshape(K)
+    dy = jnp.abs(offset[..., 0] + ti)
+    dx = jnp.abs(offset[..., 1] + tj)
+    return jnp.maximum(dy.max(), dx.max()) + 1.0
+
+
 def deform_conv2d(
     x,
     offset,
@@ -211,6 +329,7 @@ def deform_conv2d(
     dilation: IntPair = 1,
     impl: str = "auto",
     gather_dtype=None,
+    shift_bound: int = 6,
 ):
     """Modulated deformable conv, channels-last.
 
@@ -246,11 +365,24 @@ def deform_conv2d(
     py = base_y + off[..., 0]  # (B, Q, G, K)
     px = base_x + off[..., 1]
 
-    if impl in ("auto", "patch"):
+    if impl == "auto":
+        impl = _DEFAULT_IMPL
+        if impl == "dense" and ((sh, sw) != (1, 1) or (Ho, Wo) != (H, W)):
+            impl = "patch"  # dense path needs stride-1 same-size queries
+
+    if impl == "patch":
         m = mask.astype(f32).reshape(B, Q, G, K)
         out = _dcn_patch_gather(x, py, px, m, weight, bias, G,
                                 gather_dtype=gather_dtype)
         return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
+
+    if impl == "dense":
+        assert (sh, sw) == (1, 1) and (Ho, Wo) == (H, W), \
+            "dense DCN requires stride-1 same-size queries"
+        m = mask.astype(f32).reshape(B, Q, G, K)
+        out = _dcn_dense_shift(x, py, px, m, weight, bias, G, Ho, Wo,
+                               shift_bound)
+        return out.astype(x.dtype)
 
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)

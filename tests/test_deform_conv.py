@@ -182,3 +182,65 @@ def test_split_offset_mask_layout():
             np.testing.assert_array_equal(
                 np.asarray(offset[..., g, m, 1]), cat[..., g * 2 * K + 2 * m + 1]
             )
+
+
+class TestDenseShiftDCN:
+    """Gather-free dense-shift DCN (impl='dense') vs the patch-gather path:
+    exact whenever sample displacements fit shift_bound."""
+
+    def test_matches_patch_gather(self, rng):
+        from stif_tpu.ops.deform_conv import deform_conv2d, dcn_shift_stats
+
+        B, H, W, Cin, Cout, G = 2, 12, 16, 16, 16, 4
+        x = jnp.asarray(rng.random((B, H, W, Cin)), jnp.float32)
+        off = jnp.asarray(rng.uniform(-3, 3, (B, H, W, G, 9, 2)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, G, 9)), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.1,
+                          jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(Cout), jnp.float32)
+        want = deform_conv2d(x, off, mask, wgt, bias, impl="patch")
+        got = deform_conv2d(x, off, mask, wgt, bias, impl="dense",
+                            shift_bound=5)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+        assert float(dcn_shift_stats(off)) <= 5.0
+
+    def test_boundary_clamping_exact(self, rng):
+        """Offsets pushing samples off the image: zero-weight corners make
+        the dense path's clamped selections exact."""
+        from stif_tpu.ops.deform_conv import deform_conv2d
+
+        B, H, W, Cin, Cout, G = 1, 8, 10, 8, 8, 2
+        x = jnp.asarray(rng.random((B, H, W, Cin)), jnp.float32)
+        off = jnp.asarray(rng.uniform(-4, 4, (B, H, W, G, 9, 2)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, G, 9)), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((3, 3, Cin, Cout)) * 0.1,
+                          jnp.float32)
+        want = deform_conv2d(x, off, mask, wgt, None, impl="patch")
+        got = deform_conv2d(x, off, mask, wgt, None, impl="dense",
+                            shift_bound=6)
+        np.testing.assert_allclose(got, want, atol=1e-5)
+
+    def test_set_dcn_impl_auto_dispatch(self, rng):
+        from stif_tpu.ops import deform_conv as dc
+
+        B, H, W, Cin, G = 1, 6, 6, 8, 2
+        x = jnp.asarray(rng.random((B, H, W, Cin)), jnp.float32)
+        off = jnp.asarray(rng.uniform(-1, 1, (B, H, W, G, 9, 2)), jnp.float32)
+        mask = jnp.asarray(rng.random((B, H, W, G, 9)), jnp.float32)
+        wgt = jnp.asarray(rng.standard_normal((3, 3, Cin, Cin)) * 0.1,
+                          jnp.float32)
+        want = dc.deform_conv2d(x, off, mask, wgt, None, impl="auto")
+        try:
+            dc.set_dcn_impl("dense")
+            got = dc.deform_conv2d(x, off, mask, wgt, None, impl="auto")
+            # strided DCNs fall back to the gather path under dense default
+            x2 = jnp.asarray(rng.random((B, 8, 8, Cin)), jnp.float32)
+            off2 = jnp.asarray(
+                rng.uniform(-1, 1, (B, 4, 4, G, 9, 2)), jnp.float32)
+            mask2 = jnp.asarray(rng.random((B, 4, 4, G, 9)), jnp.float32)
+            strided = dc.deform_conv2d(x2, off2, mask2, wgt, None,
+                                       stride=2, impl="auto")
+            assert strided.shape == (B, 4, 4, Cin)
+        finally:
+            dc.set_dcn_impl("patch")
+        np.testing.assert_allclose(got, want, atol=1e-5)

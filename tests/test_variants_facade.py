@@ -79,6 +79,21 @@ class TestVariants:
                       method=m.decode_zoom)
         assert out.shape == (1, 1, 16, 16, 3)
 
+    def test_zoom_equals_full_decode_on_identity_window(self, rng):
+        """Numeric oracle: a zoom window covering the whole canvas at
+        center (0, 0) reproduces the full-grid cell lattice exactly, so
+        decode_zoom must equal the plain decode."""
+        m = LunaTokis(**TINY)
+        x = _x(rng)
+        t = jnp.asarray([0.25, 0.75])
+        p = m.init(jax.random.PRNGKey(0), x, t)
+        feat = m.apply(p, x, method=m.gen_feat)
+        want = m.apply(p, feat, x, t, method=m.decode)
+        got = m.apply(p, feat, x, t, (32, 32), (32, 32), (0.0, 0.0),
+                      method=m.decode_zoom)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-6)
+
 
 class TestFactory:
     @pytest.mark.parametrize("which,cls", [
