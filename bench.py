@@ -52,6 +52,11 @@ def _build():
     from stif_tpu.models import LunaTokis
 
     gd = os.environ.get("BENCH_GATHER_DTYPE")  # "bf16" after PSNR validation
+    impl = os.environ.get("BENCH_DCN_IMPL")    # "dense" after offset check
+    if impl:
+        from stif_tpu.ops.deform_conv import set_dcn_impl
+
+        set_dcn_impl(impl)
     model = LunaTokis(
         gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None)
     rng = np.random.default_rng(0)

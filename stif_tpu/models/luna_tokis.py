@@ -77,6 +77,7 @@ class LunaTokis(nn.Module):
     back_RBs: int = 40
     use_pallas: bool = False  # fused SIREN decoder kernels (TPU only)
     gather_dtype: object = None  # e.g. jnp.bfloat16: 1.5x faster DCN gathers
+    lstm_unroll: bool = False    # python-loop LSTM (instrumentation only)
 
     def setup(self):
         nf = self.nf
@@ -90,7 +91,8 @@ class LunaTokis(nn.Module):
                                   gather_dtype=self.gather_dtype)
         self.fusion = Conv(nf, 1, 1, 0)
         self.ConvBLSTM = BiDeformableConvLSTM(nf, self.groups,
-                                              self.gather_dtype)
+                                              self.gather_dtype,
+                                              self.lstm_unroll)
         self.recon_trunk = ResidualTrunk(nf, self.back_RBs)
         # legacy ZSM x4 pixel-shuffle head (checkpoint schema parity)
         self.upconv1 = Conv(nf * 4, 3, 1, 1)

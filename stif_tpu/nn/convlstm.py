@@ -67,10 +67,26 @@ class DeformableConvLSTM(nn.Module):
     nf: int = 64
     groups: int = 8
     gather_dtype: object = None
+    # debug/instrumentation: run the steps as a Python loop instead of
+    # nn.scan (identical params and math; lets eager tooling observe
+    # per-step internals that scan+remat hide, e.g. tools/offset_stats.py)
+    unroll: bool = False
 
     @nn.compact
     def __call__(self, x):
         B, T, H, W, C = x.shape
+        init = (
+            jnp.zeros((B, H, W, self.nf), x.dtype),
+            jnp.zeros((B, H, W, self.nf), x.dtype),
+        )
+        if self.unroll:
+            step = _DeformableLSTMStep(self.nf, self.groups,
+                                       self.gather_dtype, name="step")
+            carry, hs = init, []
+            for t in range(T):
+                carry, h = step(carry, x[:, t])
+                hs.append(h)
+            return jnp.stack(hs, axis=1)
         # remat the step: the two PCD pyramids per step are recomputed in the
         # backward pass instead of storing their activations x T steps —
         # trades ~2x step FLOPs for O(T) memory in training; no effect on
@@ -81,10 +97,6 @@ class DeformableConvLSTM(nn.Module):
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
-        )
-        init = (
-            jnp.zeros((B, H, W, self.nf), x.dtype),
-            jnp.zeros((B, H, W, self.nf), x.dtype),
         )
         _, hs = scan(self.nf, self.groups, self.gather_dtype,
                      name="step")(init, x)
@@ -98,11 +110,12 @@ class BiDeformableConvLSTM(nn.Module):
     nf: int = 64
     groups: int = 8
     gather_dtype: object = None
+    unroll: bool = False
 
     @nn.compact
     def __call__(self, x):
         net = DeformableConvLSTM(self.nf, self.groups, self.gather_dtype,
-                                 name="forward_net")
+                                 self.unroll, name="forward_net")
         out_fwd = net(x)
         out_rev = net(x[:, ::-1])[:, ::-1]
         B, T, H, W, C = out_fwd.shape

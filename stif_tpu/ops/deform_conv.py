@@ -43,15 +43,18 @@ IntPair = Union[int, Tuple[int, int]]
 # a parameter through each module. Set BEFORE tracing/jitting (the choice is
 # baked into the compiled program).
 _DEFAULT_IMPL = "patch"
+_DEFAULT_SHIFT_BOUND = None  # None: use each call site's shift_bound
 
 
-def set_dcn_impl(impl: str):
+def set_dcn_impl(impl: str, shift_bound: int = None):
     """Set the implementation used by impl='auto' DCN calls:
     'patch' (gather, exact for any offsets) or 'dense' (static shifts,
-    exact iff offsets fit the call's shift_bound)."""
-    global _DEFAULT_IMPL
+    exact iff offsets fit the shift bound). ``shift_bound`` overrides every
+    auto call site's bound (validate with ``dcn_shift_stats`` first)."""
+    global _DEFAULT_IMPL, _DEFAULT_SHIFT_BOUND
     assert impl in ("patch", "dense")
     _DEFAULT_IMPL = impl
+    _DEFAULT_SHIFT_BOUND = shift_bound
 
 
 def _pair(v: IntPair) -> Tuple[int, int]:
@@ -223,7 +226,7 @@ def _dcn_patch_gather(x, py, px, mask, weight, bias, G, gather_dtype=None):
 
 
 def _dcn_dense_shift(x, py, px, mask, weight, bias, G, Ho, Wo,
-                     shift_bound: int):
+                     shift_bound: int, compute_dtype=None):
     """Gather-free DCN core for bounded offsets.
 
     The model's DCN queries are the pixel grid itself (stride 1, same-size),
@@ -276,15 +279,19 @@ def _dcn_dense_shift(x, py, px, mask, weight, bias, G, Ho, Wo,
     AY = AY.reshape(B, Ho, Wo, G, K, U)
     AX = AX.reshape(B, Ho, Wo, G, K, U)
 
-    xg = x.astype(f32).reshape(B, H, W, G, CpG)
+    # optional reduced-precision shift contraction: bf16 inputs put the
+    # (K, U) x (U, CpG) per-pixel contraction on the MXU with fp32 accum
+    cdt = compute_dtype or f32
+    xg = x.astype(cdt).reshape(B, H, W, G, CpG)
     xpad = jnp.pad(xg, ((0, 0), (S, S), (S, S), (0, 0), (0, 0)))
+    AXc = AX.astype(cdt)
 
     def body(acc, inputs):
         u, ay_u = inputs  # ay_u: (B, Ho, Wo, G, K)
         xrow = jax.lax.dynamic_slice(
             xpad, (0, u, 0, 0, 0), (B, H, W + 2 * S, G, CpG))
         xs = jnp.stack([xrow[:, :, v:v + W] for v in range(U)], axis=0)
-        tmp = jnp.einsum("vbhwgc,bhwgkv->bhwgkc", xs, AX,
+        tmp = jnp.einsum("vbhwgc,bhwgkv->bhwgkc", xs, AXc,
                          preferred_element_type=f32)
         return acc + ay_u[..., None] * tmp, None
 
@@ -367,6 +374,8 @@ def deform_conv2d(
 
     if impl == "auto":
         impl = _DEFAULT_IMPL
+        if _DEFAULT_SHIFT_BOUND is not None:
+            shift_bound = _DEFAULT_SHIFT_BOUND
         if impl == "dense" and ((sh, sw) != (1, 1) or (Ho, Wo) != (H, W)):
             impl = "patch"  # dense path needs stride-1 same-size queries
 
@@ -381,7 +390,7 @@ def deform_conv2d(
             "dense DCN requires stride-1 same-size queries"
         m = mask.astype(f32).reshape(B, Q, G, K)
         out = _dcn_dense_shift(x, py, px, m, weight, bias, G, Ho, Wo,
-                               shift_bound)
+                               shift_bound, compute_dtype=gather_dtype)
         return out.astype(x.dtype)
 
     y0 = jnp.floor(py)
