@@ -56,7 +56,8 @@ def _build():
     if impl:
         from stif_tpu.ops.deform_conv import set_dcn_impl
 
-        set_dcn_impl(impl)
+        bound = os.environ.get("BENCH_SHIFT_BOUND")
+        set_dcn_impl(impl, int(bound) if bound else None)
     model = LunaTokis(
         gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None)
     rng = np.random.default_rng(0)
