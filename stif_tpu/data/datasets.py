@@ -12,9 +12,12 @@ Parity targets:
     3 random GT times per window; returns raw uint8 arrays — scale
     augmentation deferred to the batch collate.
 
-Backend: plain image folders via cv2 (the reference's lmdb/memcached backends
-are cluster-specific dead weight here; the scan logic is preserved). Unlike
-the reference, roots/lists are arguments — no hardcoded paths.
+Backends: plain image folders via cv2, plus an lmdb backend with the
+reference's key/blob schema (``codes/data/Vimeo7_dataset.py:70-109, 171,
+185``: key ``{a}_{b}_{frame}``, raw uint8 HWC blobs at a fixed size) served
+by the dependency-free reader in ``stif_tpu.data.lmdb_io``. The memcached
+backend stays out of scope (cluster-specific service). Unlike the
+reference, roots/lists are arguments — no hardcoded paths.
 """
 
 from __future__ import annotations
@@ -39,6 +42,15 @@ def _read_img(path: str) -> np.ndarray:
     return img[..., :3]
 
 
+def _read_img_lmdb(env, key: str, size) -> np.ndarray:
+    """Raw uint8 HWC blob by key (``data/util.py::_read_img_lmdb``)."""
+    buf = env.get(key.encode("ascii"))
+    if buf is None:
+        raise KeyError(f"lmdb key not found: {key}")
+    c, h, w = size
+    return np.frombuffer(buf, np.uint8).reshape(h, w, c)
+
+
 class Vimeo7Dataset:
     """Septuplet folders: ``root/<a>/<b>/im{1..7}.png``.
 
@@ -51,8 +63,16 @@ class Vimeo7Dataset:
                  interval_list: Sequence[int] = (1,),
                  random_reverse: bool = False, use_flip: bool = True,
                  use_rot: bool = True, keys: Optional[List[str]] = None,
-                 phase: str = "train", seed: Optional[int] = None):
+                 phase: str = "train", seed: Optional[int] = None,
+                 data_type: str = "img", gt_shape=(3, 256, 448)):
         self.gt_root, self.lq_root = gt_root, lq_root or gt_root
+        self.data_type = data_type
+        # Reference blob sizes: GT (3, 256, 448), LQ = GT / scale
+        # (Vimeo7_dataset.py:171, 185).
+        self.gt_shape = tuple(gt_shape)
+        self.lq_shape = (gt_shape[0], gt_shape[1] // scale,
+                         gt_shape[2] // scale)
+        self._gt_env = self._lq_env = None
         self.n_frames = n_frames
         self.half = n_frames // 2
         self.gt_size, self.scale = gt_size, scale
@@ -62,15 +82,35 @@ class Vimeo7Dataset:
         self.phase = phase
         self.rng = random.Random(seed)
         if keys is None:
-            keys = []
-            for a in sorted(os.listdir(gt_root)):
-                pa = osp.join(gt_root, a)
-                if not osp.isdir(pa):
-                    continue
-                for b in sorted(os.listdir(pa)):
-                    if osp.isdir(osp.join(pa, b)):
-                        keys.append(f"{a}_{b}")
+            if data_type == "lmdb":
+                # Derive septuplet keys from the env (the reference reads a
+                # pickled key cache; the key set is recoverable from the db).
+                env = self._env("gt")
+                keys = sorted({
+                    k.decode("ascii").rsplit("_", 1)[0] for k in env.keys()
+                })
+            else:
+                keys = []
+                for a in sorted(os.listdir(gt_root)):
+                    pa = osp.join(gt_root, a)
+                    if not osp.isdir(pa):
+                        continue
+                    for b in sorted(os.listdir(pa)):
+                        if osp.isdir(osp.join(pa, b)):
+                            keys.append(f"{a}_{b}")
         self.keys = keys
+
+    def _env(self, which: str):
+        """Lazy-open LMDB envs (reference ``_init_lmdb``)."""
+        from stif_tpu.data.lmdb_io import LmdbReader
+
+        if which == "gt":
+            if self._gt_env is None:
+                self._gt_env = LmdbReader(self.gt_root)
+            return self._gt_env
+        if self._lq_env is None:
+            self._lq_env = LmdbReader(self.lq_root)
+        return self._lq_env
 
     def __len__(self):
         return len(self.keys)
@@ -92,16 +132,28 @@ class Vimeo7Dataset:
             neighbors.reverse()
         lq_idx = neighbors[::2]  # LQ frames = every 2nd GT frame (:52-54)
 
-        gt_dir = osp.join(self.gt_root, name_a, name_b)
-        lq_dir = osp.join(self.lq_root, name_a, name_b)
-        img_gt = [
-            _read_img(osp.join(gt_dir, f"im{i}.png")).astype(np.float32) / 255.0
-            for i in neighbors
-        ]
-        img_lq = [
-            _read_img(osp.join(lq_dir, f"im{i}.png")).astype(np.float32) / 255.0
-            for i in lq_idx
-        ]
+        if self.data_type == "lmdb":
+            img_gt = [
+                _read_img_lmdb(self._env("gt"), f"{key}_{i}",
+                               self.gt_shape).astype(np.float32) / 255.0
+                for i in neighbors
+            ]
+            img_lq = [
+                _read_img_lmdb(self._env("lq"), f"{key}_{i}",
+                               self.lq_shape).astype(np.float32) / 255.0
+                for i in lq_idx
+            ]
+        else:
+            gt_dir = osp.join(self.gt_root, name_a, name_b)
+            lq_dir = osp.join(self.lq_root, name_a, name_b)
+            img_gt = [
+                _read_img(osp.join(gt_dir, f"im{i}.png")).astype(np.float32)
+                / 255.0 for i in neighbors
+            ]
+            img_lq = [
+                _read_img(osp.join(lq_dir, f"im{i}.png")).astype(np.float32)
+                / 255.0 for i in lq_idx
+            ]
 
         if self.phase == "train":
             s = self.scale
