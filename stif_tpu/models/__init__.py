@@ -1,5 +1,8 @@
 from stif_tpu.models.luna_tokis import LunaTokis
 from stif_tpu.models.tmnet import TMNet
 from stif_tpu.models.registry import register_model, make_model
+from stif_tpu.nn.mlp import MLP
 
-__all__ = ["LunaTokis", "TMNet", "register_model", "make_model"]
+register_model("mlp")(MLP)  # liif_models.py:7-23 registry parity
+
+__all__ = ["LunaTokis", "TMNet", "MLP", "register_model", "make_model"]

@@ -110,6 +110,17 @@ class TestFactory:
         with pytest.raises(NotImplementedError):
             define_g({"network_G": {"which_model_G": "nope"}})
 
+    def test_registry_mlp(self):
+        """The LIIF registry's 'mlp' ReLU model (reference mlp.py:7-30)."""
+        import jax
+        import jax.numpy as jnp
+
+        from stif_tpu.models import make_model
+
+        m = make_model("mlp", out_dim=3, hidden_list=[16, 16])
+        p = m.init(jax.random.PRNGKey(0), jnp.zeros((2, 5, 10)))
+        assert m.apply(p, jnp.ones((2, 5, 10))).shape == (2, 5, 3)
+
 
 class TestFacade:
     @pytest.mark.slow
