@@ -155,6 +155,10 @@ def main():
         "ssim_y": {k: round(v, 4) for k, v in res.ssim.items()},
         "mean_psnr_y": round(res.mean_psnr, 3),
         "mean_ssim_y": round(res.mean_ssim, 4),
+        "psnr_y_by_time": {f"t{t}": round(v, 3)
+                           for t, v in res.psnr_by_time.items()},
+        "ssim_y_by_time": {f"t{t}": round(v, 4)
+                           for t, v in res.ssim_by_time.items()},
         "avg_window_time_s": round(res.avg_time_s, 3),
         "wall_s": round(wall, 1),
         "baseline_bicubic": {k: round(v, 3) for k, v in baseline.items()},

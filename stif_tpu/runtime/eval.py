@@ -32,6 +32,10 @@ class EvalResult:
     # "MID PSNR/SSIM" breakdown of the adobe_4x/liif4x/tmnet protocols
     mid_psnr: float = 0.0
     mid_ssim: float = 0.0
+    # per-query-time split (reference test_metric_full reports the t=0.5
+    # "center" and t=0 "key" averages separately, myutils.py:517-542)
+    psnr_by_time: Dict[float, float] = field(default_factory=dict)
+    ssim_by_time: Dict[float, float] = field(default_factory=dict)
 
     @property
     def mean_psnr(self) -> float:
@@ -72,6 +76,8 @@ def eval_space_time_sr(pipeline, gt_root: str,
     )
     res = EvalResult()
     t_total, n_calls = 0.0, 0
+    by_t_p = {t: [] for t in times}
+    by_t_s = {t: [] for t in times}
     for name in folders:
         gt = _load_frames(os.path.join(gt_root, name))  # (T, H, W, 3)
         # crop GT so LR dims are clean multiples
@@ -99,10 +105,16 @@ def eval_space_time_sr(pipeline, gt_root: str,
                     ref_m = bgr2ycbcr(ref[..., ::-1].astype(np.float32))
                 else:
                     pred_m, ref_m = pred, ref
-                psnrs.append(calculate_psnr(pred_m * 255, ref_m * 255))
-                ssims.append(calculate_ssim(pred_m * 255, ref_m * 255))
+                p = calculate_psnr(pred_m * 255, ref_m * 255)
+                s = calculate_ssim(pred_m * 255, ref_m * 255)
+                psnrs.append(p)
+                ssims.append(s)
+                by_t_p[t].append(p)
+                by_t_s[t].append(s)
         res.psnr[name] = float(np.mean(psnrs))
         res.ssim[name] = float(np.mean(ssims))
+    res.psnr_by_time = {t: float(np.mean(v)) for t, v in by_t_p.items() if v}
+    res.ssim_by_time = {t: float(np.mean(v)) for t, v in by_t_s.items() if v}
     res.avg_time_s = t_total / max(n_calls, 1)
     return res
 

@@ -49,6 +49,10 @@ def test_vid4_protocol(gt_root, pipeline):
         assert -1 <= v <= 1
     assert res.avg_time_s > 0
     assert res.mean_psnr > 0
+    # per-query-time split (center t=0.5 / key t=0, myutils.py:517-542)
+    assert set(res.psnr_by_time) == {0.5, 0.0} == set(res.ssim_by_time)
+    for v in res.psnr_by_time.values():
+        assert np.isfinite(v) and v > 0
 
 
 def test_adobe_x8_protocol(gt_root, pipeline):
