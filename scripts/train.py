@@ -109,6 +109,7 @@ def main():
             scale=int(opt.get("scale", 4)),
             nt=int(dopt.get("nt", 3)),
             seed=int(dopt.get("seed", 0)),
+            interval_choices=dopt.get("interval_choices"),
         )
         collate = collate_fixed
     else:

@@ -137,11 +137,17 @@ class SyntheticVideoDataset:
 
     def __init__(self, n_items: int = 20000, gt_size: int = 192,
                  scale: int = 4, nt: int = 3, interval: int = 8,
-                 seed: int = 0, phase: str = "train",
+                 interval_choices=None, seed: int = 0, phase: str = "train",
                  max_speed: float = 3.0, **_ignored):
         self.n_items = n_items
         self.gt_size, self.scale = gt_size, scale
         self.nt, self.interval = nt, interval
+        # per-sample random pair span (frames between the two inputs): the
+        # eval protocols query pairs at several motion magnitudes (the Vid4
+        # recipe's every-2nd-frame inputs span 2 frames; x8-temporal spans
+        # 8) — mixing spans at train time matches that distribution.
+        self.interval_choices = (list(interval_choices)
+                                 if interval_choices else None)
         self.seed = seed
         self.phase = phase
         self.max_speed = max_speed
@@ -162,8 +168,15 @@ class SyntheticVideoDataset:
         x0 = rng.uniform(0, Wc - g)
 
         k = self.interval  # input pair = frames (0, k)
+        if self.interval_choices:
+            k = int(rng.choice(self.interval_choices))
         if self.phase == "train":
-            idx = np.sort(rng.choice(k + 1, size=self.nt, replace=False))
+            idx = np.sort(rng.choice(k + 1, size=min(self.nt, k + 1),
+                                     replace=False))
+            if idx.size < self.nt:  # k+1 < nt: pad by repeating times
+                idx = np.concatenate(
+                    [idx, idx[rng.integers(0, idx.size, self.nt - idx.size)]])
+                idx = np.sort(idx)
         else:
             idx = np.linspace(0, k, self.nt).round().astype(int)
         times = idx.astype(np.float32) / k
