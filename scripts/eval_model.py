@@ -48,6 +48,37 @@ def build_eval_set(root: str, n_scenes: int = 4, n_frames: int = 12,
     return root
 
 
+def frame_hold_x8_baseline(gt_root: str, downscale: float = 0.25) -> dict:
+    """x8-temporal naive baseline: hold the nearest input frame (i or i+8),
+    bicubic-upsample x4 — per-time-index Y-PSNR, the number the model's
+    temporal interpolation must beat at mid times."""
+    from stif_tpu.data.native import host_imresize
+    from stif_tpu.runtime.eval import _load_frames
+    from stif_tpu.utils.metrics import bgr2ycbcr, calculate_psnr
+
+    m = int(round(1 / downscale))
+    per_time = [[] for _ in range(8)]
+    for name in sorted(os.listdir(gt_root)):
+        folder = os.path.join(gt_root, name)
+        if not os.path.isdir(folder):
+            continue
+        gt = _load_frames(folder)
+        H = gt.shape[1] - gt.shape[1] % m
+        W = gt.shape[2] - gt.shape[2] % m
+        gt = gt[:, :H, :W]
+        up = host_imresize(host_imresize(gt, downscale), float(m))
+        for i in range(0, gt.shape[0] - 8, 8):
+            for ti in range(8):
+                src = i if ti <= 4 else i + 8
+                p = bgr2ycbcr(np.clip(up[src], 0, 1)[..., ::-1]
+                              .astype(np.float32))
+                r = bgr2ycbcr(gt[i + ti][..., ::-1].astype(np.float32))
+                per_time[ti].append(calculate_psnr(p * 255, r * 255))
+    pt = [float(np.mean(v)) for v in per_time if v]
+    return {"per_time_psnr": pt,
+            "mean_psnr": float(np.mean([x for v in per_time for x in v]))}
+
+
 def bicubic_baseline(gt_root: str, downscale: float = 0.25) -> dict:
     """PSNR/SSIM of MATLAB-bicubic x4 upsampling of the LR inputs (t=0) and
     of frame-hold for t=0.5 — what the model must beat."""
@@ -147,6 +178,11 @@ def main():
     res = eval_space_time_sr(pipe, gt_root, times=(0.5, 0.0))
     wall = time.time() - t0
 
+    from stif_tpu.runtime.eval import eval_temporal_x8
+
+    res_x8 = eval_temporal_x8(pipe, gt_root)
+    hold = frame_hold_x8_baseline(gt_root)
+
     rec = {
         "protocol": "vid4_space_time_x4 (myutils.test_metric_full)",
         "checkpoint_step": int(state.step),
@@ -162,6 +198,15 @@ def main():
         "avg_window_time_s": round(res.avg_time_s, 3),
         "wall_s": round(wall, 1),
         "baseline_bicubic": {k: round(v, 3) for k, v in baseline.items()},
+        "x8_temporal": {
+            "mean_psnr_y": round(res_x8.mean_psnr, 3),
+            "per_time_psnr_y": [round(v, 2) for v in res_x8.per_time_psnr],
+            "baseline_frame_hold": {
+                "mean_psnr_y": round(hold["mean_psnr"], 3),
+                "per_time_psnr_y": [round(v, 2)
+                                    for v in hold["per_time_psnr"]],
+            },
+        },
     }
     print(json.dumps(rec, indent=2))
     if args.out:
