@@ -36,7 +36,18 @@ def _log_mtime(path):
 def _alive(pid):
     try:
         os.kill(pid, 0)
-        return True
+    except OSError:
+        return False
+    # A finished-but-unreaped child (zombie) still answers kill(pid, 0);
+    # without this check the supervisor waits out the full stall timeout
+    # after a clean "done at step" exit (observed live at step 10500).
+    try:
+        os.waitpid(pid, os.WNOHANG)  # reap if it is our child
+    except OSError:
+        pass
+    try:
+        with open(f"/proc/{pid}/stat") as f:
+            return f.read().split()[2] != "Z"
     except OSError:
         return False
 
