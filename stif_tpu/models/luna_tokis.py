@@ -180,17 +180,22 @@ class LunaTokis(nn.Module):
         area = jnp.abs(rel[..., 0] * rel[..., 1]) + 1e-9
         base_a = jnp.concatenate([q_feat_a, q_inp_a, rel], axis=-1)  # (B,Q,200)
 
+        # bilinear decoder gathers optionally read a reduced-precision source
+        # (same lever as the DCN gathers; interpolation stays fp32)
+        def gs_b(v, g):
+            return grid_sample(v, g, mode="bilinear",
+                               source_dtype=self.gather_dtype)
+
         # stage-B gathers of time-independent fields (fused when hr_inp is at
         # LR resolution, i.e. the non-test ``decoding`` path)
         fuse_lr = hr_inp.shape[1] == H and hr_inp.shape[2] == W
         if fuse_lr:
-            q_b = grid_sample(jnp.concatenate([feat, hr_inp], axis=-1),
-                              coord_xy, mode="bilinear")
+            q_b = gs_b(jnp.concatenate([feat, hr_inp], axis=-1), coord_xy)
             q_feat0_b = q_b[..., :nfc]
             q_inp_b = q_b[..., nfc:]
         else:
-            q_inp_b = grid_sample(hr_inp, coord_xy, mode="bilinear")
-            q_feat0_b = grid_sample(feat, coord_xy, mode="bilinear")
+            q_inp_b = gs_b(hr_inp, coord_xy)
+            q_feat0_b = gs_b(feat, coord_xy)
 
         t_nb = _times_nb(times, B, base_a.dtype)  # (nt, B)
         nt = t_nb.shape[0]
@@ -227,22 +232,22 @@ class LunaTokis(nn.Module):
         # stage-C sources at equal resolution fuse into one gather per grid
         if hr_inp.shape[1] == feat.shape[1] and hr_inp.shape[2] == feat.shape[2]:
             lr_c = tile_t(jnp.concatenate([feat, hr_inp], axis=-1))
-            c1 = grid_sample(lr_c, g1, mode="bilinear")
-            c2 = grid_sample(lr_c, g2, mode="bilinear")
+            c1 = gs_b(lr_c, g1)
+            c2 = gs_b(lr_c, g2)
             nfc2 = feat.shape[-1]
             q_feat3, q_img1 = c1[..., :nfc2], c1[..., nfc2:]
             q_feat4, q_img2 = c2[..., :nfc2], c2[..., nfc2:]
-            q_feat1 = grid_sample(hrfeat, g1, mode="bilinear")
-            q_feat2 = grid_sample(hrfeat, g2, mode="bilinear")
+            q_feat1 = gs_b(hrfeat, g1)
+            q_feat2 = gs_b(hrfeat, g2)
         else:
             feat_t_tiled = tile_t(feat)
             hr_inp_tiled = tile_t(hr_inp)
-            q_feat1 = grid_sample(hrfeat, g1, mode="bilinear")
-            q_img1 = grid_sample(hr_inp_tiled, g1, mode="bilinear")
-            q_feat3 = grid_sample(feat_t_tiled, g1, mode="bilinear")
-            q_feat2 = grid_sample(hrfeat, g2, mode="bilinear")
-            q_img2 = grid_sample(hr_inp_tiled, g2, mode="bilinear")
-            q_feat4 = grid_sample(feat_t_tiled, g2, mode="bilinear")
+            q_feat1 = gs_b(hrfeat, g1)
+            q_img1 = gs_b(hr_inp_tiled, g1)
+            q_feat3 = gs_b(feat_t_tiled, g1)
+            q_feat2 = gs_b(hrfeat, g2)
+            q_img2 = gs_b(hr_inp_tiled, g2)
+            q_feat4 = gs_b(feat_t_tiled, g2)
         # stage D: RGB
         rgb = self.encode_imnet(
             (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe)
@@ -357,8 +362,10 @@ class LunaTokis(nn.Module):
         q_coord = grid_sample(feat_coord, cxy, mode="nearest")
         rel = (coord_chunk - q_coord) * jnp.asarray([H, W], coord_chunk.dtype)
         base_a = jnp.concatenate([q_feat_a, q_inp_a, rel], axis=-1)
-        q_inp_b = grid_sample(hr_inp, cxy, mode="bilinear")
-        q_feat0_b = grid_sample(feat, cxy, mode="bilinear")
+        q_inp_b = grid_sample(hr_inp, cxy, mode="bilinear",
+                              source_dtype=self.gather_dtype)
+        q_feat0_b = grid_sample(feat, cxy, mode="bilinear",
+                                source_dtype=self.gather_dtype)
 
         t_nb = _times_nb(times, B, jnp.float32)
         nt = t_nb.shape[0]
@@ -401,12 +408,16 @@ class LunaTokis(nn.Module):
         g2 = jnp.clip(g2, -1 + _EPS, 1 - _EPS)
         feat_tl = tile_t(feat)
         hr_inp_tl = tile_t(hr_inp)
-        q_feat1 = grid_sample(hrfeat_full, g1, mode="bilinear")
-        q_img1 = grid_sample(hr_inp_tl, g1, mode="bilinear")
-        q_feat3 = grid_sample(feat_tl, g1, mode="bilinear")
-        q_feat2 = grid_sample(hrfeat_full, g2, mode="bilinear")
-        q_img2 = grid_sample(hr_inp_tl, g2, mode="bilinear")
-        q_feat4 = grid_sample(feat_tl, g2, mode="bilinear")
+        def gs_b(v, g):
+            return grid_sample(v, g, mode="bilinear",
+                               source_dtype=self.gather_dtype)
+
+        q_feat1 = gs_b(hrfeat_full, g1)
+        q_img1 = gs_b(hr_inp_tl, g1)
+        q_feat3 = gs_b(feat_tl, g1)
+        q_feat2 = gs_b(hrfeat_full, g2)
+        q_img2 = gs_b(hr_inp_tl, g2)
+        q_feat4 = gs_b(feat_tl, g2)
         t_nb = _times_nb(times, B, jnp.float32)
         pe = jnp.broadcast_to(t_nb[:, :, None, None],
                               (nt, B, Cq, 1)).reshape(ntB, Cq, 1)

@@ -197,5 +197,7 @@ def bilinear_gather(x, iy, ix, padding_mode: str = "zeros"):
         x = jnp.pad(x, ((0, 0), (0, max(0, 2 - H)), (0, max(0, 2 - W)),
                         (0, 0)))
     patches = gather_patches_2x2(x, sy, sx)  # (B, Q, 2, 2, C)
-    return jnp.einsum("bqijc,bqij->bqc", patches,
-                      w.astype(patches.dtype))
+    # interpolate in fp32 regardless of the (possibly reduced-precision)
+    # gather source dtype — only the HBM-bound gather itself is narrow
+    return jnp.einsum("bqijc,bqij->bqc", patches.astype(jnp.float32),
+                      w.astype(jnp.float32))

@@ -33,7 +33,8 @@ def _gather_hw(x_flat, idx):
 
 
 def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
-                align_corners: bool = False, impl: str = "auto"):
+                align_corners: bool = False, impl: str = "auto",
+                source_dtype=None):
     """Sample ``x`` (B, H, W, C) at ``grid`` (B, Hg, Wg, 2) or (B, Q, 2).
 
     Returns (B, Hg, Wg, C) (or (B, Q, C) for a flat grid).
@@ -41,6 +42,11 @@ def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     ``impl``: 'corners' = four corner-row gathers; 'patch' = one fused 2x2xC
     patch gather per query (~2.4x faster on TPU, identical fp32 math);
     'auto' = patch for bilinear, corners otherwise.
+
+    ``source_dtype``: optional reduced-precision gather source (e.g.
+    ``jnp.bfloat16`` halves gather bytes on the bandwidth-bound TPU gather;
+    interpolation stays fp32). Default keeps the source dtype (bit-parity
+    with ``torch.nn.functional.grid_sample``).
     """
     if mode not in ("bilinear", "nearest"):
         raise ValueError(f"unsupported mode: {mode}")
@@ -68,7 +74,8 @@ def grid_sample(x, grid, mode: str = "bilinear", padding_mode: str = "zeros",
     if mode == "bilinear" and impl in ("auto", "patch"):
         from stif_tpu.ops.gather_utils import bilinear_gather
 
-        out = bilinear_gather(x.astype(jnp.float32), iy, ix, padding_mode)
+        src = x.astype(source_dtype or jnp.float32)
+        out = bilinear_gather(src, iy, ix, padding_mode)
         out = out.reshape(B, Hg, Wg, C).astype(x.dtype)
         if flat_grid:
             out = out[:, :, 0, :]
