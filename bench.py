@@ -216,6 +216,10 @@ def main():
         "b1_fps": round(fps1, 3),
         "batched_fps": round(fps_b, 3) if fps_b else None,
         "pair_batch": PAIR_BATCH,
+        # precision/impl provenance so the headline number is traceable to
+        # its mode from the artifact alone (ADVICE r2)
+        "gather_dtype": os.environ.get("BENCH_GATHER_DTYPE", "bf16"),
+        "dcn_impl": os.environ.get("BENCH_DCN_IMPL", "patch"),
         "stages": stages,
     }
     if batch_err:

@@ -8,8 +8,9 @@ meta pages, branch/leaf B-tree pages, overflow (BIGDATA) pages — so
 databases written by the real liblmdb are readable here and vice versa.
 
 Scope: read-only access (``LmdbReader``) plus a batch writer
-(``write_lmdb``) that builds the B-tree bottom-up in one transaction — all
-the dataset pipeline needs. No freelist, no nested DBs, no DUPSORT.
+(``write_lmdb``) that builds the B-tree bottom-up in one transaction,
+streaming pages to disk in O(page) memory — all the dataset pipeline
+needs. No freelist, no nested DBs, no DUPSORT.
 
 Layout constants follow lmdb.h (64-bit, little-endian, 4096-byte pages).
 """
@@ -179,6 +180,13 @@ class _PageBuf:
         return bytes(out)
 
 
+def _even(node: bytes) -> bytes:
+    # liblmdb 2-byte-aligns every node (EVEN() in mdb_leaf_size /
+    # mdb_branch_size); the pad byte sits after the data, so reader offsets
+    # (data at ptr + 8 + ksize, true length in the dsize field) are unchanged.
+    return node + b"\0" if len(node) & 1 else node
+
+
 def _leaf_node(key: bytes, data: bytes, big_pgno: Optional[int]) -> bytes:
     dsize = len(data)
     if big_pgno is not None:
@@ -187,123 +195,137 @@ def _leaf_node(key: bytes, data: bytes, big_pgno: Optional[int]) -> bytes:
     else:
         body = data
         flags = 0
-    return (struct.pack("<HHHH", dsize & 0xFFFF, dsize >> 16, flags,
-                        len(key)) + key + body)
+    return _even(struct.pack("<HHHH", dsize & 0xFFFF, dsize >> 16, flags,
+                             len(key)) + key + body)
 
 
 def _branch_node(key: bytes, pgno: int) -> bytes:
-    return (struct.pack("<HHHH", pgno & 0xFFFF, (pgno >> 16) & 0xFFFF,
-                        (pgno >> 32) & 0xFFFF, len(key)) + key)
+    return _even(struct.pack("<HHHH", pgno & 0xFFFF, (pgno >> 16) & 0xFFFF,
+                             (pgno >> 32) & 0xFFFF, len(key)) + key)
 
 
 def write_lmdb(path: str, items: Iterable[Tuple[bytes, bytes]],
-               map_size: int = 1 << 34) -> Dict[str, int]:
-    """Write ``items`` ((key, value), pre-sorted or not) as ``path/data.mdb``.
+               map_size: int = 1 << 34, sort: bool = True) -> Dict[str, int]:
+    """Write ``items`` ((key, value) pairs) as ``path/data.mdb``.
 
     Single bulk transaction, bottom-up B-tree build; values larger than a
     quarter page go to overflow pages (like liblmdb). Returns stats.
+
+    The build is **streaming**: leaf and overflow pages are written to the
+    file as soon as they are complete, only the current page plus one
+    (first_key, pgno) pair per finished leaf/branch is buffered, and the two
+    meta pages are patched at the end — so dataset-scale databases (hundreds
+    of GB of frame blobs via ``tools/make_vimeo_lmdb.py``) build in O(page)
+    memory.  With ``sort=True`` (default) the input is materialized and
+    sorted first — convenient for small/test inputs; pass ``sort=False`` for
+    large pre-sorted streams (key order is verified, ValueError on
+    violation).
     """
-    items = sorted(
-        (k.encode() if isinstance(k, str) else k,
-         v.encode() if isinstance(v, str) else v)
-        for k, v in items
-    )
     os.makedirs(path, exist_ok=True)
     fpath = os.path.join(path, "data.mdb")
 
-    pages: List[bytes] = [b"", b""]  # meta placeholders (pgno 0, 1)
-    next_pg = 2
-    n_overflow = 0
+    def _enc(x):
+        return x.encode() if isinstance(x, str) else x
 
-    def alloc() -> int:
-        nonlocal next_pg
-        next_pg += 1
-        return next_pg - 1
+    if sort:
+        items = sorted((_enc(k), _enc(v)) for k, v in items)
 
-    big_threshold = PAGE // 4  # liblmdb: values > pagesize/4 overflow
+    f = open(fpath, "wb")
+    try:
+        next_pg = 2          # pgno 0/1 = meta, patched at the end
+        n_overflow = 0
+        n_entries = 0
 
-    # ------------------------------------------------------------ leaves
-    leaves: List[Tuple[bytes, int]] = []  # (first_key, pgno)
-    leaf: Optional[_PageBuf] = None
-    overflow_chunks: List[Tuple[int, bytes]] = []
-    for k, v in items:
-        big = None
-        if len(v) > big_threshold:
-            npg = (HDRSZ + len(v) + PAGE - 1) // PAGE
-            big = alloc()
-            for _ in range(npg - 1):
-                alloc()
-            hdr = bytearray(PAGE * npg)
-            struct.pack_into("<QHH", hdr, 0, big, 0, P_OVERFLOW)
-            struct.pack_into("<I", hdr, 12, npg)
-            hdr[HDRSZ: HDRSZ + len(v)] = v
-            overflow_chunks.append((big, bytes(hdr)))
-            n_overflow += npg
-        node = _leaf_node(k, v, big)
-        if leaf is None or leaf.free() < len(node):
-            if leaf is not None:
-                pages.append(None)  # placeholder; rendered later
-            leaf = _PageBuf(alloc(), P_LEAF)
-            leaves.append([k, leaf])
-        leaf.add(node)
-    # collect rendered leaves in pgno order later
-    leaf_pages = {pb.pgno: pb for _, pb in leaves}
+        def alloc(n: int = 1) -> int:
+            nonlocal next_pg
+            pg = next_pg
+            next_pg += n
+            return pg
 
-    # ----------------------------------------------------------- branches
-    level: List[Tuple[bytes, int]] = [(k, pb.pgno) for k, pb in leaves]
-    branch_pages: Dict[int, _PageBuf] = {}
-    depth = 1
-    while len(level) > 1:
-        depth += 1
-        nxt: List[Tuple[bytes, int]] = []
-        buf: Optional[_PageBuf] = None
-        for idx, (k, pg) in enumerate(level):
-            first_in_page = buf is None
-            key = b"" if first_in_page else k
-            node = _branch_node(key, pg)
-            if buf is not None and buf.free() < len(node):
-                buf = None
-                first_in_page = True
-                node = _branch_node(b"", pg)
-            if buf is None:
-                buf = _PageBuf(alloc(), P_BRANCH)
-                branch_pages[buf.pgno] = buf
-                nxt.append([k, buf.pgno])
-            buf.add(node)
-        level = nxt
-    root = level[0][1] if level else 0xFFFFFFFFFFFFFFFF
-    if not items:
-        depth = 0
+        def put(pgno: int, data: bytes):
+            f.seek(pgno * PAGE)
+            f.write(data)
 
-    # ------------------------------------------------------------ assemble
-    total_pages = next_pg
-    blob = bytearray(total_pages * PAGE)
-    for pgno, pb in leaf_pages.items():
-        blob[pgno * PAGE:(pgno + 1) * PAGE] = pb.render()
-    for pgno, pb in branch_pages.items():
-        blob[pgno * PAGE:(pgno + 1) * PAGE] = pb.render()
-    for pgno, chunk in overflow_chunks:
-        blob[pgno * PAGE: pgno * PAGE + len(chunk)] = chunk
+        big_threshold = PAGE // 4  # liblmdb: values > pagesize/4 overflow
 
-    n_branch = len(branch_pages)
-    n_leaf = len(leaf_pages)
-    for mpg, txnid in ((0, 0), (1, 1)):
-        off = mpg * PAGE
-        struct.pack_into("<QHH", blob, off, mpg, 0, P_META)
-        _META_HEAD.pack_into(blob, off + HDRSZ, MAGIC, VERSION, 0,
-                             max(map_size, total_pages * PAGE))
-        dboff = off + HDRSZ + _META_HEAD.size
-        # FREE_DBI: empty
-        _DB.pack_into(blob, dboff, 0, 0, 0, 0, 0, 0, 0,
-                      0xFFFFFFFFFFFFFFFF)
-        # MAIN_DBI
-        _DB.pack_into(blob, dboff + _DB.size, 0, 0, depth, n_branch,
-                      n_leaf, n_overflow, len(items), root)
-        _META_TAIL.pack_into(blob, dboff + 2 * _DB.size,
-                             total_pages - 1, txnid)
+        # ---------------------------------------------------------- leaves
+        first_keys: List[Tuple[bytes, int]] = []  # (first_key, pgno)/leaf
+        leaf: Optional[_PageBuf] = None
+        prev_key: Optional[bytes] = None
+        for k, v in items:
+            k, v = _enc(k), _enc(v)
+            if not sort and prev_key is not None and k <= prev_key:
+                raise ValueError(
+                    f"write_lmdb(sort=False) requires strictly increasing "
+                    f"keys: {k!r} after {prev_key!r}")
+            prev_key = k
+            n_entries += 1
+            big = None
+            if len(v) > big_threshold:
+                npg = (HDRSZ + len(v) + PAGE - 1) // PAGE
+                big = alloc(npg)
+                hdr = bytearray(HDRSZ)
+                struct.pack_into("<QHH", hdr, 0, big, 0, P_OVERFLOW)
+                struct.pack_into("<I", hdr, 12, npg)
+                # tail of the last overflow page stays zero: seek-past-EOF
+                # gaps read back as zeros and truncate() at the end sizes it
+                put(big, bytes(hdr) + v)
+                n_overflow += npg
+            node = _leaf_node(k, v, big)
+            if leaf is None or leaf.free() < len(node):
+                if leaf is not None:
+                    put(leaf.pgno, leaf.render())
+                leaf = _PageBuf(alloc(), P_LEAF)
+                first_keys.append((k, leaf.pgno))
+            leaf.add(node)
+        if leaf is not None:
+            put(leaf.pgno, leaf.render())
 
-    with open(fpath, "wb") as f:
-        f.write(blob)
-    return {"entries": len(items), "pages": total_pages,
+        # --------------------------------------------------------- branches
+        # Only one level of (first_key, pgno) pairs is held at a time.
+        level = first_keys
+        n_leaf = len(first_keys)
+        n_branch = 0
+        depth = 1 if n_entries else 0
+        while len(level) > 1:
+            depth += 1
+            nxt: List[Tuple[bytes, int]] = []
+            buf: Optional[_PageBuf] = None
+            for k, pg in level:
+                node = _branch_node(b"" if buf is None else k, pg)
+                if buf is not None and buf.free() < len(node):
+                    put(buf.pgno, buf.render())
+                    buf = None
+                    node = _branch_node(b"", pg)
+                if buf is None:
+                    buf = _PageBuf(alloc(), P_BRANCH)
+                    n_branch += 1
+                    nxt.append((k, buf.pgno))
+                buf.add(node)
+            put(buf.pgno, buf.render())
+            level = nxt
+        root = level[0][1] if level else 0xFFFFFFFFFFFFFFFF
+
+        # ------------------------------------------------------- meta pages
+        total_pages = next_pg
+        f.truncate(total_pages * PAGE)
+        for mpg, txnid in ((0, 0), (1, 1)):
+            meta = bytearray(PAGE)
+            struct.pack_into("<QHH", meta, 0, mpg, 0, P_META)
+            _META_HEAD.pack_into(meta, HDRSZ, MAGIC, VERSION, 0,
+                                 max(map_size, total_pages * PAGE))
+            dboff = HDRSZ + _META_HEAD.size
+            # FREE_DBI: empty
+            _DB.pack_into(meta, dboff, 0, 0, 0, 0, 0, 0, 0,
+                          0xFFFFFFFFFFFFFFFF)
+            # MAIN_DBI
+            _DB.pack_into(meta, dboff + _DB.size, 0, 0, depth, n_branch,
+                          n_leaf, n_overflow, n_entries, root)
+            _META_TAIL.pack_into(meta, dboff + 2 * _DB.size,
+                                 total_pages - 1, txnid)
+            put(mpg, bytes(meta))
+    finally:
+        f.close()
+    return {"entries": n_entries, "pages": total_pages,
             "leaf_pages": n_leaf, "branch_pages": n_branch,
             "overflow_pages": n_overflow, "depth": depth}

@@ -153,7 +153,14 @@ def eval_adobe_4x(pipeline, gt_root: str,
     full-RGB PSNR/SSIM, "MID" = the last (t=1) index, window stride 4.
 
     The pipeline must be built with ``scale`` matching ``1/downscale``
-    (the continuous decoder handles any scale)."""
+    (the continuous decoder handles any scale).
+
+    Deviation from the reference: when frame dims are not multiples of
+    ``4*m`` the reference LANCZOS4-*resizes* LR/GT up to the next multiple
+    (``myutils.py:999-1008``); here GT is *cropped* down instead — metrics
+    on non-multiple-sized datasets are therefore not one-to-one comparable
+    with reference-reported numbers (crop evaluates true pixels only; the
+    reference scores slightly resampled GT)."""
     folders = folders or sorted(
         d for d in os.listdir(gt_root)
         if os.path.isdir(os.path.join(gt_root, d))
@@ -202,7 +209,8 @@ def eval_adobe_liif4x(pipeline, gt_root: str,
     """``test_metric_adobe_liif4x`` LIIF protocol
     (``codes/myutils.py:1079-1231``): like :func:`eval_adobe_4x` but only the
     three *interior* times {1/4, 1/2, 3/4} vs GT frames i+1..i+3, Y-channel
-    metrics, test-mode (tuple-scale) decode."""
+    metrics, test-mode (tuple-scale) decode.  Shares :func:`eval_adobe_4x`'s
+    crop-instead-of-resize deviation for non-multiple frame sizes."""
     folders = folders or sorted(
         d for d in os.listdir(gt_root)
         if os.path.isdir(os.path.join(gt_root, d))

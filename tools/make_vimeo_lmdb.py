@@ -55,7 +55,10 @@ def main():
                             "lmdb blobs must share one size")
                     yield f"{a}_{b}_{i}".encode(), img.tobytes()
 
-    stats = write_lmdb(args.out, items())
+    # sort=False streams pages to disk in O(page) memory — required at
+    # Vimeo-90K scale (hundreds of GB of raw blobs); the folder walk above
+    # yields keys in sorted order already (verified by the writer).
+    stats = write_lmdb(args.out, items(), sort=False)
     print(f"wrote {args.out}: {stats}")
 
 
