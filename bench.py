@@ -60,6 +60,7 @@ def _build():
     # metric identical to reported precision) and ~8% faster end-to-end
     # (encoder 1.03 s -> 0.96 s). BENCH_GATHER_DTYPE=fp32 restores bit-parity.
     gd = os.environ.get("BENCH_GATHER_DTYPE", "bf16")
+    md = os.environ.get("BENCH_MLP_DTYPE", "bf16")
     impl = os.environ.get("BENCH_DCN_IMPL")    # "dense" after offset check
     if impl:
         from stif_tpu.ops.deform_conv import set_dcn_impl
@@ -67,7 +68,8 @@ def _build():
         bound = os.environ.get("BENCH_SHIFT_BOUND")
         set_dcn_impl(impl, int(bound) if bound else None)
     model = LunaTokis(
-        gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None)
+        gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None,
+        mlp_dtype=jnp.bfloat16 if md in ("bf16", "bfloat16") else None)
     rng = np.random.default_rng(0)
     xn = rng.random((1, 2, LR_H, LR_W, 3)).astype(np.float32)
     tn = np.asarray([i / N_TIMES for i in range(N_TIMES)], np.float32)
@@ -219,6 +221,7 @@ def main():
         # precision/impl provenance so the headline number is traceable to
         # its mode from the artifact alone (ADVICE r2)
         "gather_dtype": os.environ.get("BENCH_GATHER_DTYPE", "bf16"),
+        "mlp_dtype": os.environ.get("BENCH_MLP_DTYPE", "bf16"),
         "dcn_impl": os.environ.get("BENCH_DCN_IMPL", "patch"),
         "stages": stages,
     }

@@ -77,6 +77,7 @@ class LunaTokis(nn.Module):
     back_RBs: int = 40
     use_pallas: bool = False  # fused SIREN decoder kernels (TPU only)
     gather_dtype: object = None  # e.g. jnp.bfloat16: 1.5x faster DCN gathers
+    mlp_dtype: object = None     # e.g. jnp.bfloat16: half-width decoder MLP
     lstm_unroll: bool = False    # python-loop LSTM (instrumentation only)
 
     def setup(self):
@@ -101,12 +102,14 @@ class LunaTokis(nn.Module):
         self.conv_last = Conv(3, 3, 1, 1)
         # continuous decoder (SIREN imnets; dims from reference :306-311)
         up = self.use_pallas
+        md = self.mlp_dtype
         self.feat_imnet = Siren([64, 64, 256], 2, 64, outermost_linear=True,
-                                use_pallas=up)
+                                use_pallas=up, compute_dtype=md)
         self.flow_imnet = Siren([64, 64, 256], 2, 4, outermost_linear=True,
-                                use_pallas=up)
+                                use_pallas=up, compute_dtype=md)
         self.encode_imnet = Siren([64, 64, 256, 256], 3, 3,
-                                  outermost_linear=True, use_pallas=up)
+                                  outermost_linear=True, use_pallas=up,
+                                  compute_dtype=md)
 
     # ---------------------------------------------------------------- encoder
 

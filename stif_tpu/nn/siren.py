@@ -67,6 +67,11 @@ class Siren(nn.Module):
     first_omega0: float = 30.0
     hidden_omega0: float = 30.0
     use_pallas: bool = False
+    # e.g. jnp.bfloat16: half-width MLP matmuls on the MXU. Accumulation and
+    # the sine stay fp32 (SirenDense uses preferred_element_type=f32); only
+    # layer inputs/weights are narrowed. Output is cast back to the caller's
+    # dtype. Quality-gate on a trained checkpoint before enabling.
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -102,6 +107,9 @@ class Siren(nn.Module):
 
         if is_multi:
             x = jnp.concatenate(list(x), axis=-1)
+        out_dtype = x.dtype
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
         for layer in layers:
             x = layer(x)
-        return x
+        return x.astype(out_dtype)

@@ -21,12 +21,21 @@ cannot express the per-query dynamic patch reads (measured round 1 — see
 ROUND_NOTES.md "dead ends"), and the XLA graph here already keeps the
 contraction on the MXU with the gathers as the bound resource.
 
-Two implementations share the exact semantics:
+Three implementations share the exact semantics:
   * ``impl='patch'`` — batched 2x2xC patch gathers (exact for ANY offsets);
   * ``impl='dense'`` — gather-free static-shift one-hot contraction
     (``_dcn_dense_shift``), exact iff sample displacements fit
     ``shift_bound`` (validate with ``dcn_shift_stats``); trades the
     gather bottleneck for dense VPU math.
+  * ``impl='window'`` — tap-clustered window gather: ONE (Wy, Wx, CpG)
+    slice per (query, group) covers all K taps' bilinear corners (the TPU
+    gather is per-index bound at ~30M idx/s, so K x fewer indices is the
+    lever), taps are then extracted with separable one-hot contractions on
+    the VPU. Exact for any input: a data-dependent ``lax.cond`` falls back
+    to the patch path whenever some tap's corner escapes its window
+    (trained offsets are smooth — taps of one query cluster tightly even
+    when their common magnitude is large; see ``tools/offset_stats.py``
+    tap_spread stats).
 """
 
 from __future__ import annotations
@@ -44,17 +53,22 @@ IntPair = Union[int, Tuple[int, int]]
 # baked into the compiled program).
 _DEFAULT_IMPL = "patch"
 _DEFAULT_SHIFT_BOUND = None  # None: use each call site's shift_bound
+_DEFAULT_WINDOW = (8, 8)     # impl='window' tap-cluster window (rows, cols)
 
 
-def set_dcn_impl(impl: str, shift_bound: int = None):
+def set_dcn_impl(impl: str, shift_bound: int = None, window=None):
     """Set the implementation used by impl='auto' DCN calls:
-    'patch' (gather, exact for any offsets) or 'dense' (static shifts,
-    exact iff offsets fit the shift bound). ``shift_bound`` overrides every
-    auto call site's bound (validate with ``dcn_shift_stats`` first)."""
-    global _DEFAULT_IMPL, _DEFAULT_SHIFT_BOUND
-    assert impl in ("patch", "dense")
+    'patch' (gather, exact for any offsets), 'dense' (static shifts, exact
+    iff offsets fit the shift bound), or 'window' (tap-clustered gather,
+    exact for any offsets via runtime fallback). ``shift_bound`` overrides
+    every auto call site's bound (validate with ``dcn_shift_stats`` first);
+    ``window`` sets the (Wy, Wx) tap-cluster window."""
+    global _DEFAULT_IMPL, _DEFAULT_SHIFT_BOUND, _DEFAULT_WINDOW
+    assert impl in ("patch", "dense", "window")
     _DEFAULT_IMPL = impl
     _DEFAULT_SHIFT_BOUND = shift_bound
+    if window is not None:
+        _DEFAULT_WINDOW = (int(window[0]), int(window[1]))
 
 
 def _pair(v: IntPair) -> Tuple[int, int]:
@@ -225,6 +239,138 @@ def _dcn_patch_gather(x, py, px, mask, weight, bias, G, gather_dtype=None):
     return out
 
 
+def _axis_corner_weights(p, n: int):
+    """Zero-padded bilinear corner decomposition along one axis.
+
+    p: float positions (any shape). Returns (i0, w0, w1): floor corner
+    index and the weights of corners i0 / i0+1, zeroed when the corner is
+    outside [0, n) — the reference's zero-padding semantics
+    (``dcn_v2_im2col_cuda.cu:25-54``), separably per axis.
+    """
+    p0 = jnp.floor(p)
+    l = p - p0
+    i0 = p0.astype(jnp.int32)
+    i1 = i0 + 1
+    w0 = jnp.where((i0 >= 0) & (i0 < n), 1.0 - l, 0.0)
+    w1 = jnp.where((i1 >= 0) & (i1 < n), l, 0.0)
+    return i0, w0, w1
+
+
+def _grouped_window_gather(xg, by, bx, Wy: int, Wx: int):
+    """xg: (B, H, W, G, CpG); by, bx: (B, Q, G) int32 window starts.
+    Returns (B, Q, G, Wy, Wx, CpG) — one slice gather per (query, group)."""
+    B, H, W, G, CpG = xg.shape
+    Q = by.shape[1]
+    gi = jnp.broadcast_to(
+        jnp.arange(G, dtype=jnp.int32)[None, None, :], by.shape)
+    starts = jnp.stack(
+        [by.reshape(B, -1), bx.reshape(B, -1), gi.reshape(B, -1)], axis=-1)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2, 3, 4, 5),
+        collapsed_slice_dims=(),
+        start_index_map=(1, 2, 3),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+    win = jax.lax.gather(xg, starts, dn,
+                         slice_sizes=(1, Wy, Wx, 1, CpG), mode="clip")
+    return win.reshape(B, Q, G, Wy, Wx, CpG)
+
+
+def _window_plan(py, px, H: int, W: int, Wy: int, Wx: int):
+    """Window starts, in-window corner cells, axis weights, and the
+    exactness predicate for the tap-clustered gather.
+
+    py, px: (..., K) float positions (last axis = taps). Returns
+    (by, bx) window starts without the tap axis, (r0, c0) in-window floor
+    corners per tap, the four separable corner weights, and scalar ``ok``
+    — True iff every nonzero-weight corner of every tap fits its window.
+    """
+    y0, wy0, wy1 = _axis_corner_weights(py, H)
+    x0, wx0, wx1 = _axis_corner_weights(px, W)
+
+    # Window start: min floor corner over the taps that contribute
+    # anything. Dead taps (both corners zero-weighted along either axis)
+    # must not drag the window — offsets frequently point far outside the
+    # image, where the zero-padded sample is exactly 0.
+    BIG = jnp.int32(1 << 20)
+    dead = ((wy0 == 0.0) & (wy1 == 0.0)) | ((wx0 == 0.0) & (wx1 == 0.0))
+    eff_y = jnp.where(dead, BIG, jnp.where(wy0 > 0.0, y0, y0 + 1))
+    eff_x = jnp.where(dead, BIG, jnp.where(wx0 > 0.0, x0, x0 + 1))
+    by = jnp.clip(jnp.min(eff_y, axis=-1), 0, max(H - Wy, 0))
+    bx = jnp.clip(jnp.min(eff_x, axis=-1), 0, max(W - Wx, 0))
+    r0 = y0 - by[..., None]   # in-window row of each tap's floor corner
+    c0 = x0 - bx[..., None]
+
+    # Fallback predicate: some live tap's nonzero-weight corner escapes.
+    def _escapes(r, w, n):
+        return (w > 0.0) & ((r < 0) | (r >= n))
+
+    bad = jnp.logical_not(dead) & (
+        _escapes(r0, wy0, Wy) | _escapes(r0 + 1, wy1, Wy)
+        | _escapes(c0, wx0, Wx) | _escapes(c0 + 1, wx1, Wx))
+    ok = jnp.logical_not(jnp.any(bad))
+    return by, bx, r0, c0, (wy0, wy1, wx0, wx1), ok
+
+
+def _dcn_window_gather(x, py, px, mask, weight, bias, G,
+                       Wy: int, Wx: int, gather_dtype=None):
+    """Tap-clustered DCN core: one (Wy, Wx, CpG) window gather per
+    (query, group) replaces K 2x2 patch gathers — K x fewer gather indices
+    on the per-index-bound TPU gather. Per-tap bilinear values are then
+    extracted from the window by two separable one-hot contractions
+    (VPU/MXU math, no further gathers).
+
+    Exactness: identical to the patch path whenever every nonzero-weight
+    bilinear corner of every tap lands inside its (query, group) window;
+    a runtime ``lax.cond`` dispatches the whole call to the patch path
+    otherwise, so the op is exact for ANY offsets (the fallback predicate
+    is a single scalar reduce over the batch).
+
+    x: (B, H, W, Cin); py, px: (B, Q, G, K) float positions;
+    mask: (B, Q, G, K); weight: (kh, kw, Cin, Cout).
+    """
+    B, H, W, Cin = x.shape
+    kh, kw, _, Cout = weight.shape
+    K = kh * kw
+    CpG = Cin // G
+    Q = py.shape[1]
+    f32 = jnp.float32
+
+    by, bx, r0, c0, (wy0, wy1, wx0, wx1), ok = _window_plan(
+        py.astype(f32), px.astype(f32), H, W, Wy, Wx)
+
+    wr = weight.astype(f32).reshape(K, G, CpG, Cout)
+
+    def _fast(_):
+        src_dtype = gather_dtype or f32
+        xg = x.astype(src_dtype).reshape(B, H, W, G, CpG)
+        win = _grouped_window_gather(xg, by, bx, Wy, Wx)
+        u = jnp.arange(Wy, dtype=jnp.int32)
+        v = jnp.arange(Wx, dtype=jnp.int32)
+        sel_y = (wy0[..., None] * (r0[..., None] == u)
+                 + wy1[..., None] * ((r0 + 1)[..., None] == u))  # (BQGK,Wy)
+        sel_x = (wx0[..., None] * (c0[..., None] == v)
+                 + wx1[..., None] * ((c0 + 1)[..., None] == v))
+        # separable extraction: contract columns then rows (never
+        # materializes the (B,Q,G,K,Wy,Wx) outer product)
+        t = jnp.einsum("bqgkv,bqguvc->bqgkuc", sel_x.astype(f32),
+                       win.astype(f32))
+        col = jnp.einsum("bqgku,bqgkuc->bqgkc", sel_y.astype(f32), t)
+        col = col * mask.astype(f32)[..., None]
+        return jnp.einsum("bqgkc,kgco->bqo", col, wr,
+                          preferred_element_type=f32)
+
+    def _slow(_):
+        return _dcn_patch_gather(x, py, px, mask, weight, None, G,
+                                 gather_dtype=gather_dtype)
+
+    out = jax.lax.cond(ok, _fast, _slow, None)
+    if bias is not None:
+        out = out + bias.astype(f32)
+    return out
+
+
 def _dcn_dense_shift(x, py, px, mask, weight, bias, G, Ho, Wo,
                      shift_bound: int, compute_dtype=None):
     """Gather-free DCN core for bounded offsets.
@@ -337,6 +483,7 @@ def deform_conv2d(
     impl: str = "auto",
     gather_dtype=None,
     shift_bound: int = 6,
+    window=None,
 ):
     """Modulated deformable conv, channels-last.
 
@@ -378,6 +525,16 @@ def deform_conv2d(
             shift_bound = _DEFAULT_SHIFT_BOUND
         if impl == "dense" and ((sh, sw) != (1, 1) or (Ho, Wo) != (H, W)):
             impl = "patch"  # dense path needs stride-1 same-size queries
+
+    if impl == "window":
+        Wy, Wx = _pair(window) if window is not None else _DEFAULT_WINDOW
+        if H < Wy or W < Wx or K == 1:
+            impl = "patch"  # window exceeds the source / nothing to cluster
+        else:
+            m = mask.astype(f32).reshape(B, Q, G, K)
+            out = _dcn_window_gather(x, py, px, m, weight, bias, G, Wy, Wx,
+                                     gather_dtype=gather_dtype)
+            return out.reshape(B, Ho, Wo, Cout).astype(x.dtype)
 
     if impl == "patch":
         m = mask.astype(f32).reshape(B, Q, G, K)

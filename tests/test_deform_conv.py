@@ -244,3 +244,89 @@ class TestDenseShiftDCN:
         finally:
             dc.set_dcn_impl("patch")
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+class TestWindowDCN:
+    """Tap-clustered window gather (impl='window') vs the patch path.
+
+    Contract: byte-exact equality with impl='patch' for ANY offsets —
+    via the fast windowed path when taps fit their (Wy, Wx) window, via
+    the runtime lax.cond fallback when they escape."""
+
+    def _mk(self, rng, scale, H=10, W=12, B=2, Cin=8, Cout=6, G=2):
+        x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)
+        off = (rng.standard_normal((B, H, W, G, 9, 2)) * scale
+               ).astype(np.float32)
+        mask = rng.random((B, H, W, G, 9)).astype(np.float32)
+        wgt = (rng.standard_normal((3, 3, Cin, Cout)) * 0.2
+               ).astype(np.float32)
+        bias = rng.standard_normal(Cout).astype(np.float32)
+        return tuple(map(jnp.asarray, (x, off, mask, wgt, bias)))
+
+    @pytest.mark.parametrize("scale", [0.0, 0.7, 2.0, 50.0])
+    def test_matches_patch_any_offsets(self, rng, scale):
+        x, off, mask, wgt, bias = self._mk(rng, scale)
+        want = deform_conv2d(x, off, mask, wgt, bias, impl="patch")
+        got = deform_conv2d(x, off, mask, wgt, bias, impl="window",
+                            window=(6, 6))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+
+    def test_out_of_image_taps_do_not_force_fallback(self, rng):
+        """Taps pointing far outside the image contribute exactly zero
+        (zero-padded bilinear) and must neither drag the window start nor
+        trip the exactness predicate."""
+        from stif_tpu.ops.deform_conv import _window_plan
+
+        x, off, mask, wgt, bias = self._mk(rng, 0.5)
+        # push taps 0..3 of group 0 far outside the image
+        off = off.at[:, :, :, 0, :4, 0].add(300.0)
+        want = deform_conv2d(x, off, mask, wgt, bias, impl="patch")
+        got = deform_conv2d(x, off, mask, wgt, bias, impl="window",
+                            window=(6, 6))
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        # predicate check: the fast path is genuinely taken
+        B, H, W, Cin = x.shape
+        ys = jnp.arange(H, dtype=jnp.float32)[:, None, None]
+        xs = jnp.arange(W, dtype=jnp.float32)[None, :, None]
+        ti = (jnp.arange(3, dtype=jnp.float32)[:, None]
+              .repeat(3, 1).reshape(9) - 1.0)
+        tj = (jnp.arange(3, dtype=jnp.float32)[None, :]
+              .repeat(3, 0).reshape(9) - 1.0)
+        py = (ys + ti)[None, :, :, None, :] + off[..., 0]
+        px = (xs + tj)[None, :, :, None, :] + off[..., 1]
+        *_, ok = _window_plan(py.reshape(B, -1, 2, 9),
+                              px.reshape(B, -1, 2, 9), H, W, 6, 6)
+        assert bool(ok)
+
+    def test_predicate_flags_wide_spread(self, rng):
+        from stif_tpu.ops.deform_conv import _window_plan
+
+        # two in-image taps 8 px apart cannot fit a 6-px window
+        py = jnp.asarray([[[[2.0, 10.0]]]])
+        px = jnp.asarray([[[[3.0, 3.0]]]])
+        *_, ok = _window_plan(py, px, 16, 16, 6, 6)
+        assert not bool(ok)
+
+    def test_auto_dispatch_and_small_source_degrade(self, rng):
+        from stif_tpu.ops import deform_conv as dc
+
+        x, off, mask, wgt, bias = self._mk(rng, 0.7)
+        want = dc.deform_conv2d(x, off, mask, wgt, bias, impl="patch")
+        try:
+            dc.set_dcn_impl("window", window=(6, 6))
+            got = dc.deform_conv2d(x, off, mask, wgt, bias, impl="auto")
+            # sources smaller than the window degrade statically to patch
+            xs = x[:, :4, :4]
+            offs, masks = off[:, :4, :4], mask[:, :4, :4]
+            small = dc.deform_conv2d(xs, offs, masks, wgt, bias,
+                                     impl="auto")
+            wants = dc.deform_conv2d(xs, offs, masks, wgt, bias,
+                                     impl="patch")
+        finally:
+            dc.set_dcn_impl("patch")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(small), np.asarray(wants),
+                                   atol=1e-5)

@@ -1,0 +1,46 @@
+"""Reduced-precision inference modes: outputs must stay close to fp32.
+
+These are the bench/serving levers (``gather_dtype``, ``mlp_dtype``) — bit
+parity is NOT expected (that is what the fp32 default is for), but the
+bf16 paths must agree to bf16-level tolerance and share the exact same
+parameter schema (precision is a compute-time cast, never a param dtype).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from stif_tpu.models import LunaTokis
+
+
+@pytest.fixture(scope="module")
+def tiny_setup():
+    model = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2)
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((1, 2, 8, 8, 3)), jnp.float32)
+    times = jnp.asarray([0.25, 0.75])
+    params = model.init(jax.random.PRNGKey(0), x, times,
+                        method=model.full_init)
+    return model, params, x, times
+
+
+def test_mlp_dtype_bf16_close(tiny_setup):
+    model, params, x, times = tiny_setup
+    want = model.apply(params, x, times)
+    model16 = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                        mlp_dtype=jnp.bfloat16)
+    got = model16.apply(params, x, times)  # same params: cast-only change
+    assert got.dtype == want.dtype
+    # rgb in [0,1]-ish units: bf16 matmuls with fp32 accum stay within ~1e-2
+    assert float(jnp.max(jnp.abs(got - want))) < 2e-2
+
+
+def test_gather_dtype_bf16_close(tiny_setup):
+    model, params, x, times = tiny_setup
+    want = model.apply(params, x, times)
+    model16 = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                        gather_dtype=jnp.bfloat16)
+    got = model16.apply(params, x, times)
+    assert float(jnp.max(jnp.abs(got - want))) < 2e-2

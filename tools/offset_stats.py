@@ -87,11 +87,21 @@ def main():
         ti = (np.arange(kh) - kh // 2).repeat(kh).astype(np.float32)
         tj = np.tile(np.arange(kh) - kh // 2, kh).astype(np.float32)
         d = np.maximum(np.abs(off[..., 0] + ti), np.abs(off[..., 1] + tj))
+        # tap spread per (pixel, group): the statistic that sizes the
+        # windowed tap-clustered gather (ops/deform_conv impl='window') —
+        # max over taps minus min over taps of the sample position, per axis
+        py = off[..., 0] + ti  # (B, H, W, G, K)
+        px = off[..., 1] + tj
+        sp = np.maximum(py.max(-1) - py.min(-1), px.max(-1) - px.min(-1))
         rows.append({
             "site": f"call{len(rows):02d}_H{x_.shape[1]}xW{x_.shape[2]}",
             "max_shift": round(float(d.max()) + 1.0, 2),
             f"q{args.quantile}": round(
                 float(np.quantile(d, args.quantile)) + 1.0, 2),
+            "tap_spread_max": round(float(sp.max()), 2),
+            "tap_spread_q999": round(float(np.quantile(sp, 0.999)), 2),
+            "tap_spread_q99": round(float(np.quantile(sp, 0.99)), 2),
+            "tap_spread_med": round(float(np.median(sp)), 2),
         })
         return deform_conv2d(x_, offset, mask, weight, bias, **kw)
 
