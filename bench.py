@@ -152,7 +152,8 @@ def bench_b1(model, params, dev, rng, tn):
 
 
 def bench_batched(model, params, dev, rng, tn, batch):
-    """Batched-pair streaming through the chunked decoder."""
+    """Batched-pair streaming: full jitted decode (BENCH_CHUNK=full —
+    feasible with bf16 gather/MLP memory) or the ChunkedDecoder."""
     import jax
     import jax.numpy as jnp
 
@@ -160,20 +161,29 @@ def bench_batched(model, params, dev, rng, tn, batch):
 
     times = jax.device_put(jnp.asarray(tn), dev)
     gen = jax.jit(lambda p, x: model.apply(p, x, method=model.gen_feat))
-    chunk = int(os.environ.get("BENCH_CHUNK", str(LR_H * LR_W * 16)))
-    dec = ChunkedDecoder(model, params, chunk_size=chunk)
+    chunk_env = os.environ.get("BENCH_CHUNK", "full")
+    if chunk_env == "full":
+        fwd = jax.jit(
+            lambda p, x, t: jnp.round(
+                jnp.clip(model.apply(p, x, t), 0, 1) * 255
+            ).astype(jnp.uint8))
 
-    def run(xb):
-        feat = gen(params, xb)
-        out = dec.decode(feat, xb, times,
-                         (LR_H * 4, LR_W * 4))
-        return out
+        def run(xb):
+            return fwd(params, xb, times)
+    else:
+        dec = ChunkedDecoder(model, params, chunk_size=int(chunk_env))
+
+        def run(xb):
+            feat = gen(params, xb)
+            out = dec.decode(feat, xb, times,
+                             (LR_H * 4, LR_W * 4))
+            return out
 
     xb = jax.device_put(
         jnp.asarray(rng.random((batch, 2, LR_H, LR_W, 3)).astype(np.float32)),
         dev)
     for _ in range(WARMUP):
-        run(xb)
+        jax.block_until_ready(run(xb))
     groups = [
         jax.device_put(
             jnp.asarray(
@@ -183,8 +193,12 @@ def bench_batched(model, params, dev, rng, tn, batch):
         for _ in range(max(2, ITERS // batch))
     ]
     t0 = time.perf_counter()
+    out = None
     for g in groups:
-        run(g)
+        out = run(g)
+    import jax
+
+    jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / len(groups)
     return batch * N_TIMES / dt
 

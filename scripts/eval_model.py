@@ -114,15 +114,75 @@ def bicubic_baseline(gt_root: str, downscale: float = 0.25) -> dict:
     return {k: float(np.mean(v)) for k, v in res.items()}
 
 
+def eval_scale_sweep(net, params, gt_root, scales=(2, 3, 8),
+                     device=None) -> dict:
+    """Arbitrary SPATIAL scale — the reference's headline capability
+    (int-scale decode ``Sakuya_arch_test.py:461-514``; the x16 protocol
+    ``myutils.py:941-1077`` generalizes to any s): LR = MATLAB-bicubic
+    1/s of GT, the SAME trained weights decode x s back to native GT
+    resolution, Y-PSNR/SSIM at t in {0, 0.5} (every-2nd-frame input pairs,
+    Vid4-recipe convention), vs the bicubic-x-s baseline."""
+    from stif_tpu.data.native import host_imresize
+    from stif_tpu.runtime import InferencePipeline
+    from stif_tpu.runtime.eval import _load_frames
+    from stif_tpu.utils.metrics import (bgr2ycbcr, calculate_psnr,
+                                        calculate_ssim)
+
+    def ym(pred, ref):
+        p = bgr2ycbcr(np.clip(pred, 0, 1)[..., ::-1].astype(np.float32))
+        r = bgr2ycbcr(ref[..., ::-1].astype(np.float32))
+        return (calculate_psnr(p * 255, r * 255),
+                calculate_ssim(p * 255, r * 255))
+
+    out = {}
+    for s in scales:
+        pipe = InferencePipeline(net, params, scale=int(s), bucket=4,
+                                 device=device)
+        acc = {"t0_psnr": [], "t0_ssim": [], "t05_psnr": [], "t05_ssim": [],
+               "bi_t0_psnr": [], "bi_t0_ssim": []}
+        for name in sorted(os.listdir(gt_root)):
+            folder = os.path.join(gt_root, name)
+            if not os.path.isdir(folder):
+                continue
+            gt = _load_frames(folder)
+            H = gt.shape[1] - gt.shape[1] % (2 * s)
+            W = gt.shape[2] - gt.shape[2] % (2 * s)
+            gt = gt[:, :H, :W]
+            lr = host_imresize(gt, 1.0 / s)
+            up = host_imresize(lr, float(s))
+            idx = list(range(0, gt.shape[0], 2))
+            for j, gi in enumerate(idx[:-1]):
+                pred = pipe.render_window(
+                    np.stack([lr[gi], lr[gi + 2]]), [0.0, 0.5])
+                p0, s0 = ym(pred[0], gt[gi])
+                acc["t0_psnr"].append(p0)
+                acc["t0_ssim"].append(s0)
+                if gi + 1 < gt.shape[0]:
+                    p5, s5 = ym(pred[1], gt[gi + 1])
+                    acc["t05_psnr"].append(p5)
+                    acc["t05_ssim"].append(s5)
+                bp, bs_ = ym(up[gi], gt[gi])
+                acc["bi_t0_psnr"].append(bp)
+                acc["bi_t0_ssim"].append(bs_)
+        out[f"x{s}"] = {k: round(float(np.mean(v)), 3)
+                        for k, v in acc.items() if v}
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-opt", required=True)
     ap.add_argument("--step", type=int, default=None)
     ap.add_argument("--gather-dtype", default=None, choices=[None, "bf16"])
+    ap.add_argument("--mlp-dtype", default=None, choices=[None, "bf16"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--scenes", type=int, default=4)
     ap.add_argument("--platform", default=None)
     ap.add_argument("--eval-root", default="runs/eval_data")
+    ap.add_argument("--scale-sweep", default="2,3,8",
+                    help="comma list of extra spatial scales ('' disables)")
+    ap.add_argument("--x16", action="store_true",
+                    help="also run the x16 adobe_4x/liif4x protocols")
     args = ap.parse_args()
 
     import jax
@@ -148,6 +208,8 @@ def main():
     opt = parse_options(args.opt, is_train=False)
     if args.gather_dtype == "bf16":
         opt["network_G"]["gather_dtype"] = "bf16"
+    if args.mlp_dtype == "bf16":
+        opt["network_G"]["mlp_dtype"] = "bf16"
     net = define_g(opt)
 
     # abstract params (minimal-shape jitted init on CPU), then restore
@@ -183,10 +245,51 @@ def main():
     res_x8 = eval_temporal_x8(pipe, gt_root)
     hold = frame_hold_x8_baseline(gt_root)
 
+    scale_sweep = None
+    if args.scale_sweep:
+        scales = [int(s) for s in args.scale_sweep.split(",") if s]
+        scale_sweep = eval_scale_sweep(net, pipe.params, gt_root,
+                                       scales=scales,
+                                       device=jax.devices()[0])
+
+    x16 = None
+    if args.x16:
+        from stif_tpu.data.native import host_imresize
+        from stif_tpu.runtime.eval import (_load_frames, eval_adobe_4x,
+                                           eval_adobe_liif4x)
+        from stif_tpu.utils.metrics import calculate_psnr
+
+        pipe16 = InferencePipeline(net, pipe.params, scale=16, bucket=4,
+                                   device=jax.devices()[0])
+        r4 = eval_adobe_4x(pipe16, gt_root)
+        rl = eval_adobe_liif4x(pipe16, gt_root)
+        # bicubic x16 baseline under the adobe_4x crop/metric conventions
+        bi = []
+        for name in sorted(os.listdir(gt_root)):
+            folder = os.path.join(gt_root, name)
+            if not os.path.isdir(folder):
+                continue
+            gt = _load_frames(folder)
+            H = gt.shape[1] - gt.shape[1] % 64
+            W = gt.shape[2] - gt.shape[2] % 64
+            gt = gt[:, :H, :W]
+            up = host_imresize(host_imresize(gt, 1 / 16), 16.0)
+            for i in range(0, gt.shape[0] - 4, 4):
+                bi.append(calculate_psnr(np.clip(up[i], 0, 1) * 255,
+                                         gt[i] * 255))
+        x16 = {
+            "adobe_4x_mean_psnr_rgb": round(r4.mean_psnr, 3),
+            "adobe_4x_mean_ssim_rgb": round(r4.mean_ssim, 4),
+            "adobe_liif4x_mean_psnr_y": round(rl.mean_psnr, 3),
+            "adobe_liif4x_mean_ssim_y": round(rl.mean_ssim, 4),
+            "bicubic_x16_t0_psnr_rgb": round(float(np.mean(bi)), 3),
+        }
+
     rec = {
         "protocol": "vid4_space_time_x4 (myutils.test_metric_full)",
         "checkpoint_step": int(state.step),
         "gather_dtype": args.gather_dtype or "fp32",
+        "mlp_dtype": args.mlp_dtype or "fp32",
         "psnr_y": {k: round(v, 3) for k, v in res.psnr.items()},
         "ssim_y": {k: round(v, 4) for k, v in res.ssim.items()},
         "mean_psnr_y": round(res.mean_psnr, 3),
@@ -208,6 +311,10 @@ def main():
             },
         },
     }
+    if scale_sweep:
+        rec["scale_sweep"] = scale_sweep
+    if x16:
+        rec["x16_protocols"] = x16
     print(json.dumps(rec, indent=2))
     if args.out:
         with open(args.out, "w") as f:

@@ -86,7 +86,11 @@ def main():
     pid = args.adopt_pid if (args.adopt_pid and _alive(args.adopt_pid)) \
         else launch(resume=args.adopt_pid is not None)
     restarts = 0
-    last = _log_mtime(log_path) or time.time()
+    # Stall clock starts NOW: a stale train.log from an earlier run must not
+    # count as "no progress" against a freshly launched trainer (observed
+    # live: a 5h-old log mtime got a still-compiling trainer killed at the
+    # supervisor's first poll).
+    last = time.time()
 
     while True:
         time.sleep(args.poll)

@@ -138,12 +138,17 @@ class LunaTokisAblation(nn.Module):
             flow_q = self.flow_imnet(
                 (hrfeat_q, tile_t(q_feat_a), tile_t(q_inp_a), tile_t(rel),
                  pe))
-        else:  # cont: bilinear resamples, no rel
+        else:  # cont: bilinear resamples, no rel. The reference bilinearly
+            # REgathers the HR field at the clamped query coords
+            # (Sakuya_arch_test_continuous.py:400-403) — at boundary cells
+            # the clamp makes this differ (by ~1e-5) from the identity, so
+            # no shortcut here.
             q_b = grid_sample(jnp.concatenate([feat, inp_cat], -1), cxy,
                               mode="bilinear")
             nfc = feat.shape[-1]
+            q_hr_b = grid_sample(hrfeat, tile_t(cxy), mode="bilinear")
             flow_q = self.flow_imnet(
-                (hrfeat_q, tile_t(q_b[..., :nfc]), tile_t(q_b[..., nfc:]),
+                (q_hr_b, tile_t(q_b[..., :nfc]), tile_t(q_b[..., nfc:]),
                  pe))
         flow = flow_q.reshape(nt * B, HH, WW, 4)
         g1 = jnp.clip(warp_grid(flow[..., :2]), -1 + _EPS, 1 - _EPS)

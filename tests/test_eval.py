@@ -5,6 +5,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles full models: minutes on the 1-core CI host
+
 import jax
 import jax.numpy as jnp
 

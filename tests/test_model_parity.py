@@ -12,6 +12,8 @@ from pathlib import Path
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compiles full models: minutes on the 1-core CI host
 import torch
 
 import jax

@@ -9,6 +9,8 @@ parameter schema (precision is a compute-time cast, never a param dtype).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles full models: minutes on the 1-core CI host
+
 import jax
 import jax.numpy as jnp
 

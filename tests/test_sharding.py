@@ -4,6 +4,8 @@ CUDA-only reference never had (SURVEY.md §4d)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compiles full models: minutes on the 1-core CI host
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P

@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow  # compiles full models: minutes on the 1-core CI host
 import torch
 import torch.nn.functional as TF
 

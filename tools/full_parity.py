@@ -62,7 +62,8 @@ def main():
     rec = {"config": cfg, "input_hw": [args.h, args.w],
            "n_times": args.times, "backend": "cpu fp32"}
 
-    xt = torch.from_numpy(xn[0].transpose(0, 3, 1, 2))[None]
+    xt = torch.from_numpy(
+        np.ascontiguousarray(xn[0].transpose(0, 3, 1, 2)))[None]
 
     # encoder once on each side; compare features at full config
     t0 = time.time()

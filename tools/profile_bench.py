@@ -1,0 +1,153 @@
+#!/usr/bin/env python
+"""Committed profiling artifact for the bench workload (VERDICT r2 item 10).
+
+Two outputs:
+  * a ``jax.profiler`` trace (``--trace-dir``, default runs/profile/r3) —
+    the raw xplane capture of one streamed bench step;
+  * ``PROFILE_r03.json`` — a measured stage/op breakdown attributing the
+    step time to encoder pieces (PCD aligns / LSTM / trunk), decoder, and
+    the DCN gather specifically (gather-only vs full-DCN at model shapes),
+    so perf claims trace to numbers, not assertions.
+
+Usage: python tools/profile_bench.py [--lr-h 96] [--lr-w 160] [--out ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def _timed(fn, *xs, iters=3):
+    import jax
+
+    out = fn(*xs)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*xs)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lr-h", type=int, default=96)
+    ap.add_argument("--lr-w", type=int, default=160)
+    ap.add_argument("--out", default="PROFILE_r03.json")
+    ap.add_argument("--trace-dir", default="runs/profile/r3")
+    ap.add_argument("--gather-dtype", default="bf16")
+    ap.add_argument("--mlp-dtype", default="bf16")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    try:
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+
+    from stif_tpu.models import LunaTokis
+    from stif_tpu.nn.pcd import PCDAlign
+
+    H, W = args.lr_h, args.lr_w
+    gd = jnp.bfloat16 if args.gather_dtype == "bf16" else None
+    md = jnp.bfloat16 if args.mlp_dtype == "bf16" else None
+    model = LunaTokis(gather_dtype=gd, mlp_dtype=md)
+    rng = np.random.default_rng(0)
+    xn = rng.random((1, 2, H, W, 3)).astype(np.float32)
+    tn = np.asarray([i / 8 for i in range(8)], np.float32)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(xn),
+                               jnp.asarray(tn), method=model.full_init))()
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    x = jax.device_put(jnp.asarray(xn), dev)
+    times = jax.device_put(jnp.asarray(tn), dev)
+
+    rec = {"lr_hw": [H, W], "n_times": 8,
+           "gather_dtype": args.gather_dtype, "mlp_dtype": args.mlp_dtype,
+           "device": str(dev)}
+
+    # ---- end-to-end stages
+    gen = jax.jit(lambda p, v: model.apply(p, v, method=model.gen_feat))
+    dec = jax.jit(lambda p, f, v, t: model.apply(p, f, v, t,
+                                                 method=model.decode))
+    feat = gen(params, x)
+    rec["encode_s"] = round(_timed(gen, params, x), 4)
+    rec["decode_s"] = round(_timed(dec, params, feat, x, times), 4)
+
+    # ---- encoder pieces at model shapes
+    pcd = PCDAlign(64, 8, gather_dtype=gd)
+    f1 = [jnp.asarray(rng.random((1, H // s, W // s, 64)), jnp.float32)
+          for s in (1, 2, 4)]
+    f2 = [jnp.asarray(rng.random((1, H // s, W // s, 64)), jnp.float32)
+          for s in (1, 2, 4)]
+    pp = pcd.init(jax.random.PRNGKey(1), f1, f2)
+    pcd_fn = jax.jit(lambda p, a, b: pcd.apply(p, a, b))
+    rec["one_pcd_align_s"] = round(_timed(pcd_fn, pp, f1, f2), 4)
+    rec["pcd_aligns_per_encode"] = 13
+    rec["pcd_total_s"] = round(rec["one_pcd_align_s"] * 13, 4)
+
+    from stif_tpu.nn.blocks import ResidualTrunk
+
+    trunk = ResidualTrunk(64, 40)
+    tx = jnp.asarray(rng.random((3, H, W, 64)), jnp.float32)
+    tp = trunk.init(jax.random.PRNGKey(2), tx)
+    rec["recon_trunk_s"] = round(
+        _timed(jax.jit(lambda p, v: trunk.apply(p, v)), tp, tx), 4)
+
+    # ---- DCN attribution at L1 shape: gather-only vs full op
+    from stif_tpu.ops.deform_conv import deform_conv2d, _raw_grouped_gather
+
+    G, K, CpG = 8, 9, 8
+    Q = H * W
+    src = jnp.asarray(rng.random((1, H, W, G, CpG)), jnp.float32)
+    if gd is not None:
+        src = src.astype(gd)
+    sy = jnp.asarray(rng.integers(0, H - 1, (1, Q, G, K)), jnp.int32)
+    sx = jnp.asarray(rng.integers(0, W - 1, (1, Q, G, K)), jnp.int32)
+    g_s = _timed(jax.jit(_raw_grouped_gather), src, sy, sx)
+    rec["l1_gather_only_s"] = round(g_s, 4)
+    rec["l1_gather_midx_per_s"] = round(Q * G * K / g_s / 1e6, 1)
+
+    xd = jnp.asarray(rng.random((1, H, W, 64)), jnp.float32)
+    off = jnp.asarray(rng.standard_normal((1, H, W, G, K, 2)) * 3,
+                      jnp.float32)
+    msk = jnp.asarray(rng.random((1, H, W, G, K)), jnp.float32)
+    wgt = jnp.asarray(rng.standard_normal((3, 3, 64, 64)) * 0.1, jnp.float32)
+    full_s = _timed(jax.jit(
+        lambda a, o, m, w: deform_conv2d(a, o, m, w, None, impl="patch",
+                                         gather_dtype=gd)), xd, off, msk, wgt)
+    rec["l1_dcn_full_s"] = round(full_s, 4)
+    rec["l1_dcn_gather_fraction"] = round(g_s / full_s, 3)
+    rec["l1_dcns_per_encode"] = 26
+
+    # ---- raw profiler trace of one streamed step
+    os.makedirs(args.trace_dir, exist_ok=True)
+    fwd = jax.jit(lambda p, v, t: jnp.round(
+        jnp.clip(model.apply(p, v, t), 0, 1) * 255).astype(jnp.uint8))
+    np.asarray(fwd(params, x, times))
+    with jax.profiler.trace(args.trace_dir):
+        np.asarray(fwd(params, x, times))
+    rec["trace_dir"] = args.trace_dir
+
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
+    print(json.dumps(rec, indent=2))
+
+
+if __name__ == "__main__":
+    main()

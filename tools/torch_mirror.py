@@ -605,6 +605,151 @@ class LunaTokisTrain(nn.Module):
 # ------------------------------------------------- S / noflow ablations
 
 
+class LunaTokisAbl3(nn.Module):
+    """Mirror of ``Sakuya_arch_test3.py`` (``:303-308`` dims, ``:365-458``
+    decoding): 192-ch HR feature field, 5-layer SIRENs, stage B all-nearest
+    regathers with rel_coord + time code, stage D six-input train order,
+    27-ch output assembled by ``F.fold`` (3x3 overlap-add).
+
+    Dims scale with nf like the reference's (which hardcodes nf=64):
+    feat 3nf+8 -> 192, flow 192+3nf+9 -> 4, encode 2*192+6nf+12 -> 27."""
+
+    HR = 192
+
+    def __init__(self, nf=64, nframes=6, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.nf = nf
+        self.encoder = EncoderM(nf, groups, front_RBs, back_RBs)
+        self.feat_imnet = Siren(3 * nf + 8, [64, 64, 64, 64, 256], 4, self.HR)
+        self.flow_imnet = Siren(self.HR + 3 * nf + 9,
+                                [64, 64, 64, 64, 256], 4, 4)
+        self.encode_imnet = Siren(2 * self.HR + 6 * nf + 12,
+                                  [64, 64, 64, 256, 256], 4, 27)
+
+    def forward(self, x, times):
+        feat_t = self.encoder(x)
+        feat = torch.cat([feat_t[:, 0], feat_t[:, 1], feat_t[:, 2]], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        inp_cat = x.reshape(bs, -1, H, W)
+        preds = []
+        for t in times:
+            q_feat = gs(feat, coord_hr, "nearest")
+            q_inp = gs(inp_cat, coord_hr, "nearest")
+            q_coord = gs(feat_coord, coord_hr, "nearest")
+            rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+            pe = torch.ones_like(coord_hr[:, :, :1]) * t
+            hrfeat = self.feat_imnet(torch.cat([q_feat, q_inp, rel], -1))
+            hrfeat = hrfeat.permute(0, 2, 1).view(bs, self.HR, HH, WW)
+            q_feat_b = gs(hrfeat, coord_hr, "nearest")
+            flow = self.flow_imnet(
+                torch.cat([q_feat_b, q_feat, q_inp, rel, pe], -1))
+            flow = flow.permute(0, 2, 1).view(bs, 4, HH, WW)
+            g1 = _warpgrid_flat(flow[:, :2], bs, HH, WW)
+            g2 = _warpgrid_flat(flow[:, 2:], bs, HH, WW)
+            q_feat1 = gs(hrfeat, g1, "bilinear")
+            q_feat3 = gs(feat, g1, "bilinear")
+            q_inp1 = gs(inp_cat, g1, "bilinear")
+            q_feat2 = gs(hrfeat, g2, "bilinear")
+            q_feat4 = gs(feat, g2, "bilinear")
+            q_inp2 = gs(inp_cat, g2, "bilinear")
+            patches = self.encode_imnet(torch.cat(
+                [q_feat1, q_feat3, q_inp1, q_feat2, q_feat4, q_inp2], -1))
+            pred = F.fold(patches.permute(0, 2, 1), output_size=(HH, WW),
+                          kernel_size=3, padding=1)
+            preds.append(pred)
+        return preds
+
+
+def _warpgrid_flat(fl, bs, HH, WW):
+    """reference ``warplayer.warpgrid`` grid (normalized by the flow
+    tensor's own dims) flattened + clamped + flipped like the decodings do
+    (the decoding's flip and ``gs``'s flip cancel)."""
+    hor = torch.linspace(-1, 1, WW).view(1, 1, 1, WW).expand(bs, 1, HH, WW)
+    ver = torch.linspace(-1, 1, HH).view(1, 1, HH, 1).expand(bs, 1, HH, WW)
+    base = torch.cat([hor, ver], 1)
+    fn = torch.cat(
+        [fl[:, 0:1] / ((WW - 1) / 2), fl[:, 1:2] / ((HH - 1) / 2)], 1)
+    g = (base + fn).permute(0, 2, 3, 1).reshape(bs, -1, 2)
+    return g.clamp(-1 + 1e-6, 1 - 1e-6).flip(-1)
+
+
+class LunaTokisAblCont(nn.Module):
+    """Mirror of ``Sakuya_arch_test_continuous.py`` (``:303-308`` dims,
+    ``:361-450`` decoding): flagship-width SIRENs, no time code in stages
+    A/D, stage B *bilinear* resamples of (HRfeat, feat, inp) + time code
+    (65+192+6 at nf=64), direct 3-ch RGB output (no fold)."""
+
+    def __init__(self, nf=64, nframes=6, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.nf = nf
+        self.encoder = EncoderM(nf, groups, front_RBs, back_RBs)
+        self.feat_imnet = Siren(3 * nf + 8, [64, 64, 256], 2, 64)
+        self.flow_imnet = Siren(64 + 3 * nf + 7, [64, 64, 256], 2, 4)
+        self.encode_imnet = Siren(128 + 6 * nf + 12, [64, 64, 256, 256], 3, 3)
+
+    def forward(self, x, times):
+        feat_t = self.encoder(x)
+        feat = torch.cat([feat_t[:, 0], feat_t[:, 1], feat_t[:, 2]], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        inp_cat = x.reshape(bs, -1, H, W)
+        preds = []
+        for t in times:
+            q_feat = gs(feat, coord_hr, "nearest")
+            q_inp = gs(inp_cat, coord_hr, "nearest")
+            q_coord = gs(feat_coord, coord_hr, "nearest")
+            rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+            pe = torch.ones_like(coord_hr[:, :, :1]) * t
+            hrfeat = self.feat_imnet(torch.cat([q_feat, q_inp, rel], -1))
+            hrfeat = hrfeat.permute(0, 2, 1).view(bs, 64, HH, WW)
+            # stage B: BILINEAR resamples (the continuous file's distinction)
+            q_feat_b = gs(hrfeat, coord_hr, "bilinear")
+            q_feat0 = gs(feat, coord_hr, "bilinear")
+            q_inp_b = gs(inp_cat, coord_hr, "bilinear")
+            flow = self.flow_imnet(
+                torch.cat([q_feat_b, q_feat0, q_inp_b, pe], -1))
+            flow = flow.permute(0, 2, 1).view(bs, 4, HH, WW)
+            g1 = _warpgrid_flat(flow[:, :2], bs, HH, WW)
+            g2 = _warpgrid_flat(flow[:, 2:], bs, HH, WW)
+            q_feat1 = gs(hrfeat, g1, "bilinear")
+            q_feat3 = gs(feat, g1, "bilinear")
+            q_inp1 = gs(inp_cat, g1, "bilinear")
+            q_feat2 = gs(hrfeat, g2, "bilinear")
+            q_feat4 = gs(feat, g2, "bilinear")
+            q_inp2 = gs(inp_cat, g2, "bilinear")
+            rgb = self.encode_imnet(torch.cat(
+                [q_feat1, q_feat3, q_inp1, q_feat2, q_feat4, q_inp2], -1))
+            preds.append(rgb.permute(0, 2, 1).view(bs, 3, HH, WW))
+        return preds
+
+
 class LunaTokisS(nn.Module):
     """Mirror of ``Sakuya_arch_test_S.py``: no feat_imnet — flow straight
     from the encoder feature (201->4, ``:305-306``), RGB from the two warped
