@@ -91,8 +91,76 @@ ONEHOT_BWD_MAX_HW = 36864
 _ONEHOT_CHUNK = 16384
 
 
+# Gather layout: 'flat' pre-materializes each 2x2xC patch as ONE contiguous
+# 4C row and gathers with 1-D starts — measured 3.1-3.4x faster than the
+# multi-dim (1,2,2,C) slice on v5e (tools/gather_bench.py: the TPU gather
+# cost is ~per-contiguous-run, and a 2x2 slice is four runs). 'direct' keeps
+# the original formulation (identical fp32 values; kept for A/B).
+_GATHER_LAYOUT = "flat"
+
+
+def set_gather_layout(layout: str):
+    global _GATHER_LAYOUT
+    assert layout in ("flat", "direct")
+    _GATHER_LAYOUT = layout
+
+
+def _patch_rows(x):
+    """(B, H, W, C) -> (B, H*W, 4C): row (y, x) holds the 2x2 patch at
+    (y, x) contiguously [p00 p01 p10 p11]. Out-of-range cells (last row/col)
+    are zero-padded — never read, since patch starts are clamped to
+    [0, dim-2] (patch_weights)."""
+    B, H, W, C = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    rows = jnp.concatenate([
+        xp[:, :H, :W], xp[:, :H, 1:W + 1],
+        xp[:, 1:H + 1, :W], xp[:, 1:H + 1, 1:W + 1],
+    ], axis=-1)
+    return rows.reshape(B, H * W, 4 * C)
+
+
+# Above this many indices one gather call is split into ~equal sequential
+# sub-gathers: measured 199 vs 145 Midx/s (split-8 vs monolithic) at the
+# encoder's 1.1M-index shape on v5e (GATHER_BENCH_r03.json) — the gather
+# unit pipelines better on smaller result buffers. Chosen so each
+# sub-gather stays near the sweet spot (~138k idx).
+_GATHER_SPLIT_TARGET = 180224
+
+
+def _gather_rows(rows, ridx):
+    """rows: (B, R, D); ridx: (B, Q) int32 -> (B, Q, D)."""
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(2,),
+        collapsed_slice_dims=(1,),
+        start_index_map=(1,),
+        operand_batching_dims=(0,),
+        start_indices_batching_dims=(0,),
+    )
+
+    def g(r):
+        return jax.lax.gather(rows, r[..., None], dn,
+                              slice_sizes=(1, 1, rows.shape[-1]),
+                              mode="clip")
+
+    B, Q = ridx.shape
+    n_idx = B * Q
+    if n_idx > _GATHER_SPLIT_TARGET:
+        s = min(-(-n_idx // _GATHER_SPLIT_TARGET), 8)
+        # even split only (static shapes); fall back to monolithic otherwise
+        while s > 1 and Q % s:
+            s -= 1
+        if s > 1:
+            return jnp.concatenate(
+                [g(c) for c in jnp.split(ridx, s, axis=1)], axis=1)
+    return g(ridx)
+
+
 def _raw_gather_patches(x, sy, sx):
     B, H, W, C = x.shape
+    Q = sy.shape[1]
+    if _GATHER_LAYOUT == "flat":
+        out = _gather_rows(_patch_rows(x), sy * W + sx)
+        return out.reshape(B, Q, 2, 2, C)
     starts = jnp.stack([sy, sx], axis=-1)  # (B, Q, 2)
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(2, 3, 4),
@@ -103,7 +171,7 @@ def _raw_gather_patches(x, sy, sx):
     )
     out = jax.lax.gather(x, starts, dn, slice_sizes=(1, 2, 2, C),
                          mode="clip")
-    return out.reshape(B, sy.shape[1], 2, 2, C)
+    return out.reshape(B, Q, 2, 2, C)
 
 
 def _onehot_patch_transpose(ct, sy, sx, H, W):

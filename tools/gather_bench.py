@@ -44,6 +44,13 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    try:  # remote compiles over the tunnel run ~30-60s each; cache them
+        cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", ".jax_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     H, W, G, CpG, K = args.lr_h, args.lr_w, 8, 8, 9
@@ -56,14 +63,28 @@ def main():
         return jax.device_put(jnp.asarray(a), dev)
 
     def timed(name, fn, *xs, n_idx, bytes_per_idx):
+        # Two-point timing: under the tunneled device only a FETCH is a
+        # reliable sync (block_until_ready returns early on remote arrays),
+        # and a fetch costs a tunnel round trip. (t(N2) - t(N1)) / (N2-N1)
+        # cancels the constant dispatch+fetch overhead.
         f = jax.jit(fn)
-        out = f(*xs)
-        jax.block_until_ready(out)
+
+        def run(n):
+            out = None
+            for _ in range(n):
+                out = f(*xs)
+            # chain-fetch one element to wait out the whole queue
+            flat = out.reshape(-1)
+            np.asarray(flat[:1])
+
+        run(1)  # compile + warm
+        n1, n2 = 2, 2 + args.iters
         t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = f(*xs)
-        jax.block_until_ready(out)
-        ms = (time.perf_counter() - t0) / args.iters * 1e3
+        run(n1)
+        t1 = time.perf_counter()
+        run(n2)
+        t2 = time.perf_counter()
+        ms = ((t2 - t1) - (t1 - t0)) / (n2 - n1) * 1e3
         print(json.dumps({
             "case": name, "n_idx": n_idx, "ms": round(ms, 3),
             "midx_per_s": round(n_idx / ms / 1e3, 1),
@@ -109,6 +130,20 @@ def main():
     # flatrow at half the index count (e.g. if corners merge further)
     timed("flatrow_half", flatrow, xr, ridx[:, ::2],
           n_idx=Q * G * K // 2, bytes_per_idx=4 * CpG * isz)
+
+    # flatrow split into S sequential sub-gathers inside ONE jit: probes
+    # whether the half-size speedup (8x time drop for 2x fewer indices —
+    # a result-size threshold, not bandwidth) survives when both halves
+    # still run back-to-back in a single program.
+    def flatrow_split(s):
+        def f(x, r):
+            parts = [flatrow(x, c) for c in jnp.split(r, s, axis=1)]
+            return jnp.concatenate(parts, axis=1)
+        return f
+
+    for s in (2, 4, 8):
+        timed(f"flatrow_split{s}", flatrow_split(s), xr, ridx,
+              n_idx=Q * G * K, bytes_per_idx=4 * CpG * isz)
 
     # ------------------------------------------------------------- window
     from stif_tpu.ops.deform_conv import _grouped_window_gather

@@ -23,16 +23,26 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _timed(fn, *xs, iters=3):
+def _timed(fn, *xs, iters=4):
+    """Two-point timing (t(N2)-t(N1))/(N2-N1): under the tunneled device
+    only a FETCH reliably syncs, and a fetch costs a tunnel round trip —
+    the difference cancels the constant dispatch+fetch overhead."""
     import jax
 
-    out = fn(*xs)
-    jax.block_until_ready(out)
+    def run(n):
+        out = None
+        for _ in range(n):
+            out = fn(*xs)
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:1])
+
+    run(1)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*xs)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    run(2)
+    t1 = time.perf_counter()
+    run(2 + iters)
+    t2 = time.perf_counter()
+    return ((t2 - t1) - (t1 - t0)) / iters
 
 
 def main():
@@ -135,15 +145,21 @@ def main():
     rec["l1_dcn_gather_fraction"] = round(g_s / full_s, 3)
     rec["l1_dcns_per_encode"] = 26
 
-    # ---- raw profiler trace of one streamed step
-    os.makedirs(args.trace_dir, exist_ok=True)
-    fwd = jax.jit(lambda p, v, t: jnp.round(
-        jnp.clip(model.apply(p, v, t), 0, 1) * 255).astype(jnp.uint8))
-    np.asarray(fwd(params, x, times))
-    with jax.profiler.trace(args.trace_dir):
-        np.asarray(fwd(params, x, times))
-    rec["trace_dir"] = args.trace_dir
+    with open(args.out, "w") as f:
+        json.dump(rec, f, indent=2)
 
+    # ---- raw profiler trace of one streamed step (may be unsupported
+    # over the tunneled device — the measured JSON above stands alone)
+    try:
+        os.makedirs(args.trace_dir, exist_ok=True)
+        fwd = jax.jit(lambda p, v, t: jnp.round(
+            jnp.clip(model.apply(p, v, t), 0, 1) * 255).astype(jnp.uint8))
+        np.asarray(fwd(params, x, times))
+        with jax.profiler.trace(args.trace_dir):
+            np.asarray(fwd(params, x, times))
+        rec["trace_dir"] = args.trace_dir
+    except Exception as e:  # noqa: BLE001
+        rec["trace_error"] = f"{type(e).__name__}: {e}"[:200]
     with open(args.out, "w") as f:
         json.dump(rec, f, indent=2)
     print(json.dumps(rec, indent=2))
