@@ -103,9 +103,10 @@ def _raw_grouped_gather(xg, sy, sx):
     Returns (B, Q, G, K, 2, 2, CpG) via one batched patch gather.
 
     Default layout pre-materializes each (2, 2, CpG) patch of each group as
-    ONE contiguous 4*CpG row and gathers with 1-D starts — 3.1x faster than
-    the multi-dim slice on v5e (tools/gather_bench.py; the gather cost is
-    ~per-contiguous-run and a (2,2) slice is four runs)."""
+    ONE contiguous 4*CpG row and gathers with 1-D starts — 1.9x faster
+    than the multi-dim slice on v5e together with sub-gather splitting
+    (GATHER_BENCH_r03.json; the gather cost is ~per-contiguous-run and a
+    (2,2) slice is four runs)."""
     from stif_tpu.ops.gather_utils import _GATHER_LAYOUT, _gather_rows
 
     B, H, W, G, CpG = xg.shape

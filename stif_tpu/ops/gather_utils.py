@@ -92,10 +92,12 @@ _ONEHOT_CHUNK = 16384
 
 
 # Gather layout: 'flat' pre-materializes each 2x2xC patch as ONE contiguous
-# 4C row and gathers with 1-D starts — measured 3.1-3.4x faster than the
-# multi-dim (1,2,2,C) slice on v5e (tools/gather_bench.py: the TPU gather
-# cost is ~per-contiguous-run, and a 2x2 slice is four runs). 'direct' keeps
-# the original formulation (identical fp32 values; kept for A/B).
+# 4C row and gathers with 1-D starts — 1.4x faster than the multi-dim
+# (1,2,2,C) slice on v5e, 1.9x combined with sub-gather splitting
+# (GATHER_BENCH_r03.json, uncontended chip: 199 vs 103 Midx/s at the
+# encoder's 1.1M-index shape; the TPU gather cost is ~per-contiguous-run,
+# and a 2x2 slice is four runs). 'direct' keeps the original formulation
+# (identical fp32 values; kept for A/B).
 _GATHER_LAYOUT = "flat"
 
 
