@@ -13,8 +13,9 @@ noflow / S variants) as ONE parameterized model plus a preset table:
     (128->3). These two files also carry the RUNNABLE ``decoding_mulfeat``.
   * ``test5``  (``Sakuya_arch_test5.py``): dims identical to the train
     variant (``Sakuya_arch.py``); only the int-scale branch differs.
-  * ``single`` (``Sakuya_arch_test_single.py``): test3 wiring, direct 32-ch
-    output (a feature field, not RGB — kept as declared).
+  * ``single`` (``Sakuya_arch_test_single.py``): test3-style wiring with
+    4-layer MLPs, 32-ch output field refined to RGB by a 2-conv head
+    (``final_conv``, ``:310-313``).
   * ``continuous`` (``Sakuya_arch_test_continuous.py``): flagship-like
     wiring without pe in stages A/D, bilinear stage-B resamples, train-order
     stage-D concat (524->3).
@@ -61,6 +62,9 @@ class LunaTokisAblation(nn.Module):
     ``stage_d``: "two_hr" ([q1, q2]) | "six" (train order
                  [q1, q3, qi1, q2, q4, qi2]).
     ``encode_out``: output channels; 27 with ``fold`` -> 3-ch overlap-add.
+    ``final_rgb``: apply the ``single`` variant's 2-conv RGB head
+    (``Sakuya_arch_test_single.py:310-313``: 3x3 convs out->16->3, no
+    activation between) to the decoded field.
     """
 
     nf: int = 64
@@ -74,6 +78,7 @@ class LunaTokisAblation(nn.Module):
     stage_d: str = "two_hr"
     encode_out: int = 3
     fold: bool = False
+    final_rgb: bool = False
     feat_widths: Tuple[int, ...] = (64, 64, 256)
     flow_widths: Tuple[int, ...] = (64, 64, 256)
     encode_widths: Tuple[int, ...] = (64, 64, 256, 256)
@@ -90,6 +95,9 @@ class LunaTokisAblation(nn.Module):
         self.encode_imnet = Siren(list(self.encode_widths),
                                   len(self.encode_widths) - 1,
                                   self.encode_out, outermost_linear=True)
+        if self.final_rgb:
+            self.final_conv0 = nn.Conv(16, (3, 3), padding="SAME")
+            self.final_conv1 = nn.Conv(3, (3, 3), padding="SAME")
 
     def gen_feat(self, x):
         return self.encoder(x)
@@ -171,7 +179,10 @@ class LunaTokisAblation(nn.Module):
         if self.fold:
             rgb = fold3x3(out.reshape(nt * B, HH, WW, self.encode_out))
             return rgb.reshape(nt, B, HH, WW, 3)
-        return out.reshape(nt, B, HH, WW, self.encode_out)
+        out = out.reshape(nt * B, HH, WW, self.encode_out)
+        if self.final_rgb:
+            out = self.final_conv1(self.final_conv0(out))
+        return out.reshape(nt, B, HH, WW, out.shape[-1])
 
     def decode(self, feat_t, inp, times, out_size=None):
         """Single pair window: first 3 temporal maps (reference convention)."""
@@ -233,9 +244,9 @@ _PRESETS = {
                   feat_widths=(64, 64, 64, 256),
                   flow_widths=(64, 64, 64, 256),
                   encode_widths=(64, 64, 64, 256, 256)),
-    # Sakuya_arch_test_single.py: 32-ch direct output field
+    # Sakuya_arch_test_single.py: 32-ch field + 2-conv RGB head
     "single": dict(hr_ch=192, stage_a="feat_inp_rel", stage_b="train",
-                   stage_d="six", encode_out=32, fold=False,
+                   stage_d="six", encode_out=32, fold=False, final_rgb=True,
                    feat_widths=(64, 64, 64, 256),
                    flow_widths=(64, 64, 64, 256),
                    encode_widths=(64, 64, 64, 256, 256)),

@@ -17,7 +17,7 @@ from stif_tpu.models.ablations import _PRESETS, make_ablation
 TINY = dict(nf=8, groups=2, front_RBs=1, back_RBs=1)
 
 # preset -> expected output channels of decode()
-_OUT_CH = {"test3": 3, "test4": 3, "test5": 3, "nomul": 3, "single": 32,
+_OUT_CH = {"test3": 3, "test4": 3, "test5": 3, "nomul": 3, "single": 3,
            "continuous": 3, "test2": 3}
 
 
@@ -119,8 +119,22 @@ class TestAblationOracles:
     def test_test3(self, rng):
         self._run(rng, "test3", "LunaTokisAbl3")
 
+    def test_test4(self, rng):
+        self._run(rng, "test4", "LunaTokisAbl4")
+
     def test_test5(self, rng):
         self._run(rng, "test5", "LunaTokisTrain")
 
+    def test_single(self, rng):
+        self._run(rng, "single", "LunaTokisAblSingle")
+
     def test_continuous(self, rng):
         self._run(rng, "continuous", "LunaTokisAblCont")
+
+    def test_nomul_is_test4(self):
+        """``Sakuya_arch_test_nomul.py`` declares the same model as
+        ``_test4.py`` (byte-identical dims/wiring) — the preset table must
+        keep them equal so the test4 oracle covers both."""
+        from stif_tpu.models.ablations import _PRESETS
+
+        assert _PRESETS["nomul"] == _PRESETS["test4"]

@@ -750,6 +750,127 @@ class LunaTokisAblCont(nn.Module):
         return preds
 
 
+class LunaTokisAbl4(nn.Module):
+    """Mirror of ``Sakuya_arch_test4.py`` (== ``_nomul.py``; ``:301-309``
+    dims, ``:361-418`` decoding): minimal decoder — stage A [feat, rel, pe]
+    -> 64-ch HR field (195->64 at nf=64), flow from the nearest-regathered
+    HR field + time code alone (65->4), RGB from the two warped HR fields
+    (128->3)."""
+
+    def __init__(self, nf=64, nframes=6, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.nf = nf
+        self.encoder = EncoderM(nf, groups, front_RBs, back_RBs)
+        self.feat_imnet = Siren(3 * nf + 3, [64, 64, 256], 2, 64)
+        self.flow_imnet = Siren(64 + 1, [64, 64, 256], 2, 4)
+        self.encode_imnet = Siren(128, [64, 64, 256, 256], 3, 3)
+
+    def forward(self, x, times):
+        feat_t = self.encoder(x)
+        feat = torch.cat([feat_t[:, 0], feat_t[:, 1], feat_t[:, 2]], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        preds = []
+        for t in times:
+            q_feat = gs(feat, coord_hr, "nearest")
+            q_coord = gs(feat_coord, coord_hr, "nearest")
+            rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+            pe = torch.ones_like(coord_hr[:, :, :1]) * t
+            hrfeat = self.feat_imnet(torch.cat([q_feat, rel, pe], -1))
+            hrfeat = hrfeat.permute(0, 2, 1).view(bs, 64, HH, WW)
+            q_feat_b = gs(hrfeat, coord_hr, "nearest")
+            flow = self.flow_imnet(torch.cat([q_feat_b, pe], -1))
+            flow = flow.permute(0, 2, 1).view(bs, 4, HH, WW)
+            g1 = _warpgrid_flat(flow[:, :2], bs, HH, WW)
+            g2 = _warpgrid_flat(flow[:, 2:], bs, HH, WW)
+            q_feat1 = gs(hrfeat, g1, "bilinear")
+            q_feat2 = gs(hrfeat, g2, "bilinear")
+            rgb = self.encode_imnet(torch.cat([q_feat1, q_feat2], -1))
+            preds.append(rgb.permute(0, 2, 1).view(bs, 3, HH, WW))
+        return preds
+
+
+class LunaTokisAblSingle(nn.Module):
+    """Mirror of ``Sakuya_arch_test_single.py`` (``:301-313`` dims,
+    ``:365-466`` decoding): 192-ch HR field from [feat, inp, rel] (200->192,
+    NO time code in stage A), all-nearest stage B with rel + time code
+    (393->4), six-input train-order stage D to a 32-ch field (780->32)
+    refined by the 2-conv RGB head (32->16->3, no activation between)."""
+
+    HR = 192
+
+    def __init__(self, nf=64, nframes=6, groups=8, front_RBs=5, back_RBs=40):
+        super().__init__()
+        self.nf = nf
+        self.encoder = EncoderM(nf, groups, front_RBs, back_RBs)
+        self.feat_imnet = Siren(3 * nf + 8, [64, 64, 64, 256], 3, self.HR)
+        self.flow_imnet = Siren(self.HR + 3 * nf + 9,
+                                [64, 64, 64, 256], 3, 4)
+        self.encode_imnet = Siren(2 * self.HR + 6 * nf + 12,
+                                  [64, 64, 64, 256, 256], 4, 32)
+        self.final_conv0 = nn.Conv2d(32, 16, 3, 1, 1)
+        self.final_conv1 = nn.Conv2d(16, 3, 3, 1, 1)
+
+    def forward(self, x, times):
+        feat_t = self.encoder(x)
+        feat = torch.cat([feat_t[:, 0], feat_t[:, 1], feat_t[:, 2]], 1)
+        bs, Cf, H, W = feat.shape
+        HH, WW = H * 4, W * 4
+        coord_hr = make_coord((HH, WW)).repeat(bs, 1, 1).clamp(-1 + 1e-6,
+                                                               1 - 1e-6)
+        feat_coord = (
+            make_coord((H, W), flatten=False).permute(2, 0, 1)
+            .unsqueeze(0).expand(bs, 2, H, W)
+        )
+
+        def gs(img, coord, mode):
+            return F.grid_sample(
+                img, coord.flip(-1).unsqueeze(1), mode=mode,
+                align_corners=False,
+            )[:, :, 0, :].permute(0, 2, 1)
+
+        inp_cat = x.reshape(bs, -1, H, W)
+        preds = []
+        for t in times:
+            q_feat = gs(feat, coord_hr, "nearest")
+            q_inp = gs(inp_cat, coord_hr, "nearest")
+            q_coord = gs(feat_coord, coord_hr, "nearest")
+            rel = (coord_hr - q_coord) * torch.tensor([H, W]).float()
+            pe = torch.ones_like(coord_hr[:, :, :1]) * t
+            hrfeat = self.feat_imnet(torch.cat([q_feat, q_inp, rel], -1))
+            hrfeat = hrfeat.permute(0, 2, 1).view(bs, self.HR, HH, WW)
+            q_feat_b = gs(hrfeat, coord_hr, "nearest")
+            flow = self.flow_imnet(
+                torch.cat([q_feat_b, q_feat, q_inp, rel, pe], -1))
+            flow = flow.permute(0, 2, 1).view(bs, 4, HH, WW)
+            g1 = _warpgrid_flat(flow[:, :2], bs, HH, WW)
+            g2 = _warpgrid_flat(flow[:, 2:], bs, HH, WW)
+            q_feat1 = gs(hrfeat, g1, "bilinear")
+            q_feat3 = gs(feat, g1, "bilinear")
+            q_inp1 = gs(inp_cat, g1, "bilinear")
+            q_feat2 = gs(hrfeat, g2, "bilinear")
+            q_feat4 = gs(feat, g2, "bilinear")
+            q_inp2 = gs(inp_cat, g2, "bilinear")
+            field = self.encode_imnet(torch.cat(
+                [q_feat1, q_feat3, q_inp1, q_feat2, q_feat4, q_inp2], -1))
+            field = field.permute(0, 2, 1).view(bs, 32, HH, WW)
+            preds.append(self.final_conv1(self.final_conv0(field)))
+        return preds
+
+
 class LunaTokisS(nn.Module):
     """Mirror of ``Sakuya_arch_test_S.py``: no feat_imnet — flow straight
     from the encoder feature (201->4, ``:305-306``), RGB from the two warped
