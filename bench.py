@@ -182,8 +182,10 @@ def bench_batched(model, params, dev, rng, tn, batch):
     xb = jax.device_put(
         jnp.asarray(rng.random((batch, 2, LR_H, LR_W, 3)).astype(np.float32)),
         dev)
+    # sync by fetching: on the tunneled device block_until_ready can
+    # return before the queue drains (see bench_b1 / tools timing notes)
     for _ in range(WARMUP):
-        jax.block_until_ready(run(xb))
+        np.asarray(jax.tree.leaves(run(xb))[0].reshape(-1)[:1])
     groups = [
         jax.device_put(
             jnp.asarray(
@@ -196,9 +198,7 @@ def bench_batched(model, params, dev, rng, tn, batch):
     out = None
     for g in groups:
         out = run(g)
-    import jax
-
-    jax.block_until_ready(out)
+    np.asarray(jax.tree.leaves(out)[0].reshape(-1)[:1])
     dt = (time.perf_counter() - t0) / len(groups)
     return batch * N_TIMES / dt
 

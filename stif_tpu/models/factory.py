@@ -24,11 +24,11 @@ def define_g(opt: dict):
         back_RBs=net.get("back_RBs", 40),
     )
     if which == "LIIF":
-        gd = net.get("gather_dtype")
-        if gd in ("bf16", "bfloat16"):
-            import jax.numpy as jnp
+        for key in ("gather_dtype", "mlp_dtype"):
+            if net.get(key) in ("bf16", "bfloat16"):
+                import jax.numpy as jnp
 
-            kwargs["gather_dtype"] = jnp.bfloat16
+                kwargs[key] = jnp.bfloat16
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)

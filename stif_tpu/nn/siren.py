@@ -97,7 +97,11 @@ class Siren(nn.Module):
                        name=f"layer{self.hidden_layers + 1}")
         )
 
-        if self.use_pallas and self.outermost_linear:
+        # compute_dtype wins over use_pallas: the fused kernel is fp32-only,
+        # and silently ignoring the narrower mode would corrupt bf16-vs-
+        # pallas A/B provenance (both knobs are plumbed from LunaTokis).
+        if (self.use_pallas and self.outermost_linear
+                and self.compute_dtype is None):
             from stif_tpu.ops.siren_pallas import siren_apply_fused
 
             ws, bs = zip(*[layer.weights() for layer in layers])

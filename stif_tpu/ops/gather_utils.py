@@ -124,9 +124,10 @@ def _patch_rows(x):
 # Above this many indices one gather call is split into ~equal sequential
 # sub-gathers: measured 199 vs 145 Midx/s (split-8 vs monolithic) at the
 # encoder's 1.1M-index shape on v5e (GATHER_BENCH_r03.json) — the gather
-# unit pipelines better on smaller result buffers. Chosen so each
-# sub-gather stays near the sweet spot (~138k idx).
-_GATHER_SPLIT_TARGET = 180224
+# unit pipelines better on smaller result buffers. 1105920/8 exactly, so
+# the benchmarked shape gets the benchmarked 8-way/138k-idx split
+# (ceil at any larger target would produce an unmeasured 6/7-way split).
+_GATHER_SPLIT_TARGET = 138240
 
 
 def _gather_rows(rows, ridx):
