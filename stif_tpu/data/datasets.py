@@ -12,12 +12,15 @@ Parity targets:
     3 random GT times per window; returns raw uint8 arrays — scale
     augmentation deferred to the batch collate.
 
-Backends: plain image folders via cv2, plus an lmdb backend with the
+Backends: plain image folders via cv2; an lmdb backend with the
 reference's key/blob schema (``codes/data/Vimeo7_dataset.py:70-109, 171,
 185``: key ``{a}_{b}_{frame}``, raw uint8 HWC blobs at a fixed size) served
-by the dependency-free reader in ``stif_tpu.data.lmdb_io``. The memcached
-backend stays out of scope (cluster-specific service). Unlike the
-reference, roots/lists are arguments — no hardcoded paths.
+by the dependency-free reader in ``stif_tpu.data.lmdb_io``; and a memcached
+backend (PNG values by path key, optional ``<root>_B/_G/_R`` single-channel
+split for the 1 MB value limit) via ``stif_tpu.data.memcache`` — the
+reference's ``mc`` branch with its call-arity bug
+(``Vimeo7_dataset.py:168``) fixed. Unlike the reference, roots/lists are
+arguments — no hardcoded paths.
 """
 
 from __future__ import annotations
@@ -64,9 +67,16 @@ class Vimeo7Dataset:
                  random_reverse: bool = False, use_flip: bool = True,
                  use_rot: bool = True, keys: Optional[List[str]] = None,
                  phase: str = "train", seed: Optional[int] = None,
-                 data_type: str = "img", gt_shape=(3, 256, 448)):
+                 data_type: str = "img", gt_shape=(3, 256, 448),
+                 mc_host: str = "127.0.0.1", mc_port: int = 11211,
+                 mc_channel_split: bool = False):
         self.gt_root, self.lq_root = gt_root, lq_root or gt_root
+        if data_type not in ("img", "lmdb", "mc"):
+            raise ValueError(f"Wrong data type: {data_type}")
         self.data_type = data_type
+        self.mc_host, self.mc_port = mc_host, mc_port
+        self.mc_channel_split = mc_channel_split
+        self._mclient = None
         # Reference blob sizes: GT (3, 256, 448), LQ = GT / scale
         # (Vimeo7_dataset.py:171, 185).
         self.gt_shape = tuple(gt_shape)
@@ -82,6 +92,10 @@ class Vimeo7Dataset:
         self.phase = phase
         self.rng = random.Random(seed)
         if keys is None:
+            if data_type == "mc":
+                # memcached offers no enumeration; the reference loads a
+                # pickled key cache (Vimeo7_dataset.py:60-66).
+                raise ValueError("data_type='mc' requires explicit keys")
             if data_type == "lmdb":
                 # Derive septuplet keys from the env (the reference reads a
                 # pickled key cache; the key set is recoverable from the db).
@@ -99,6 +113,37 @@ class Vimeo7Dataset:
                         if osp.isdir(osp.join(pa, b)):
                             keys.append(f"{a}_{b}")
         self.keys = keys
+
+    def _mc(self):
+        """Lazy per-worker client (reference ``_ensure_memcached``)."""
+        if self._mclient is None:
+            from stif_tpu.data.memcache import MemcachedClient
+
+            self._mclient = MemcachedClient(self.mc_host, self.mc_port)
+        return self._mclient
+
+    def _read_img_mc(self, key: str) -> np.ndarray:
+        """PNG bytes by path key -> BGR HWC uint8 (``_read_img_mc``)."""
+        import cv2
+
+        buf = self._mc().get(key)
+        if buf is None:
+            raise KeyError(f"memcached key not found: {key}")
+        img = cv2.imdecode(np.frombuffer(buf, np.uint8),
+                           cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise ValueError(f"memcached value is not an image: {key}")
+        return img
+
+    def _read_img_mc_bgr(self, root: str, rel: str) -> np.ndarray:
+        """Merge single-channel PNGs from ``<root>_B/_G/_R`` — the
+        reference's scheme for memcached's 1 MB value limit
+        (``_read_img_mc_BGR``), with its argument-arity bug fixed."""
+        import cv2
+
+        chans = [self._read_img_mc(osp.join(root + suffix, rel))
+                 for suffix in ("_B", "_G", "_R")]
+        return cv2.merge(chans)
 
     def _env(self, which: str):
         """Lazy-open LMDB envs (reference ``_init_lmdb``)."""
@@ -132,7 +177,26 @@ class Vimeo7Dataset:
             neighbors.reverse()
         lq_idx = neighbors[::2]  # LQ frames = every 2nd GT frame (:52-54)
 
-        if self.data_type == "lmdb":
+        if self.data_type == "mc":
+            # GT via the channel-split scheme when enabled (the reference
+            # always splits GT, Vimeo7_dataset.py:168); LQ as whole PNGs.
+            def read_gt(rel):
+                if self.mc_channel_split:
+                    return self._read_img_mc_bgr(self.gt_root, rel)
+                return self._read_img_mc(osp.join(self.gt_root, rel))
+
+            img_gt = [
+                read_gt(osp.join(name_a, name_b, f"im{i}.png")).astype(
+                    np.float32) / 255.0
+                for i in neighbors
+            ]
+            img_lq = [
+                self._read_img_mc(
+                    osp.join(self.lq_root, name_a, name_b,
+                             f"im{i}.png")).astype(np.float32) / 255.0
+                for i in lq_idx
+            ]
+        elif self.data_type == "lmdb":
             img_gt = [
                 _read_img_lmdb(self._env("gt"), f"{key}_{i}",
                                self.gt_shape).astype(np.float32) / 255.0
