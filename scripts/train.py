@@ -50,10 +50,8 @@ def main():
         pass
 
     from stif_tpu.utils.config import parse_options
-    from stif_tpu.data import (
-        DataLoader, ShardedIterSampler, collate_fixed,
-        collate_arbitrary_scale, create_dataset,
-    )
+    from stif_tpu.data import DataLoader, ShardedIterSampler
+    from stif_tpu.data.datasets import create_train_dataset
     from stif_tpu.train.video_sr_model import VideoSRModel
 
     logging.basicConfig(level=logging.INFO,
@@ -81,39 +79,7 @@ def main():
         log.info("tensorboard events -> %s", tb.path)
 
     dopt = opt["datasets"]["train"]
-    mode = dopt["mode"]
-    common = dict(gt_root=dopt["dataroot_GT"])
-    if mode == "Vimeo7":
-        ds = create_dataset("Vimeo7", lq_root=dopt.get("dataroot_LQ"),
-                            n_frames=int(dopt.get("N_frames", 7)),
-                            gt_size=int(dopt.get("GT_size", 192)),
-                            scale=int(opt.get("scale", 4)),
-                            random_reverse=bool(dopt.get("random_reverse")),
-                            **common)
-        collate = collate_fixed
-    elif mode == "Adobe":
-        ds = create_dataset("Adobe", gt_size=int(dopt.get("GT_size", 192)),
-                            scale=int(opt.get("scale", 4)), **common)
-        collate = collate_fixed
-    elif mode == "Adobe_a":
-        ds = create_dataset("Adobe_a", **common)
-        collate = lambda samples: collate_arbitrary_scale(
-            samples, lq_size=int(dopt.get("LQ_size", 64)),
-            scale_buckets=dopt.get("scale_buckets"),
-        )
-    elif mode == "Synthetic":
-        ds = create_dataset(
-            "Synthetic",
-            n_items=int(dopt.get("n_items", 20000)),
-            gt_size=int(dopt.get("GT_size", 192)),
-            scale=int(opt.get("scale", 4)),
-            nt=int(dopt.get("nt", 3)),
-            seed=int(dopt.get("seed", 0)),
-            interval_choices=dopt.get("interval_choices"),
-        )
-        collate = collate_fixed
-    else:
-        raise NotImplementedError(mode)
+    ds, collate = create_train_dataset(opt)
 
     sampler = ShardedIterSampler(len(ds), ratio=100)
     loader = DataLoader(ds, batch_size=int(dopt.get("batch_size", 18)),

@@ -365,3 +365,75 @@ def create_dataset(mode: str, **kwargs):
 
         return SyntheticVideoDataset(**kwargs)
     raise NotImplementedError(f"Dataset [{mode}] is not recognized.")
+
+
+def create_train_dataset(opt):
+    """Config-driven train dataset + collate from a parsed options dict.
+
+    Mirrors the reference's ``create_dataset(dataset_opt)`` path: backend
+    selection follows ``options.py:27-38`` (lmdb inferred from a ``.lmdb``
+    dataroot suffix, ``mc`` only when explicit) and ``cache_keys`` is the
+    reference's pickled key list (``Vimeo7_dataset.py:60-66``; entries
+    ``a_b`` or ``a_b_frame``) — here a config-relative path instead of a
+    hardcoded meta_info dir. Returns ``(dataset, collate_fn)``.
+    """
+    from stif_tpu.data.collate import (collate_arbitrary_scale,
+                                       collate_fixed)
+
+    dopt = opt["datasets"]["train"]
+    mode = dopt["mode"]
+    common = dict(gt_root=dopt["dataroot_GT"])
+    if mode == "Vimeo7":
+        data_type = dopt.get("data_type")
+        if not data_type:
+            roots = [dopt.get("dataroot_GT"), dopt.get("dataroot_LQ")]
+            data_type = ("lmdb" if any(
+                str(r).endswith("lmdb") for r in roots if r) else "img")
+        keys = None
+        if dopt.get("cache_keys"):
+            import pickle
+
+            with open(dopt["cache_keys"], "rb") as f:
+                raw = pickle.load(f)
+            keys = list(dict.fromkeys(
+                "_".join(str(k).split("_")[:2]) for k in raw))
+        extra = {}
+        if data_type == "mc":
+            extra = dict(mc_host=dopt.get("mc_host", "127.0.0.1"),
+                         mc_port=int(dopt.get("mc_port", 11211)),
+                         mc_channel_split=bool(dopt.get("mc_channel_split")))
+        if dopt.get("gt_shape"):
+            extra["gt_shape"] = tuple(dopt["gt_shape"])
+        ds = create_dataset("Vimeo7", lq_root=dopt.get("dataroot_LQ"),
+                            n_frames=int(dopt.get("N_frames", 7)),
+                            gt_size=int(dopt.get("GT_size", 192)),
+                            scale=int(opt.get("scale", 4)),
+                            random_reverse=bool(dopt.get("random_reverse")),
+                            interval_list=dopt.get("interval_list") or (1,),
+                            use_flip=bool(dopt.get("use_flip", True)),
+                            use_rot=bool(dopt.get("use_rot", True)),
+                            data_type=data_type, keys=keys, **extra,
+                            **common)
+        return ds, collate_fixed
+    if mode == "Adobe":
+        ds = create_dataset("Adobe", gt_size=int(dopt.get("GT_size", 192)),
+                            scale=int(opt.get("scale", 4)), **common)
+        return ds, collate_fixed
+    if mode == "Adobe_a":
+        ds = create_dataset("Adobe_a", **common)
+        return ds, (lambda samples: collate_arbitrary_scale(
+            samples, lq_size=int(dopt.get("LQ_size", 64)),
+            scale_buckets=dopt.get("scale_buckets"),
+        ))
+    if mode == "Synthetic":
+        ds = create_dataset(
+            "Synthetic",
+            n_items=int(dopt.get("n_items", 20000)),
+            gt_size=int(dopt.get("GT_size", 192)),
+            scale=int(opt.get("scale", 4)),
+            nt=int(dopt.get("nt", 3)),
+            seed=int(dopt.get("seed", 0)),
+            interval_choices=dopt.get("interval_choices"),
+        )
+        return ds, collate_fixed
+    raise NotImplementedError(mode)

@@ -116,3 +116,39 @@ def test_vimeo7_lmdb_backend_matches_folder(tmp_path):
         np.testing.assert_array_equal(a["LQs"], b["LQs"])
         np.testing.assert_array_equal(a["GT"], b["GT"])
         np.testing.assert_array_equal(a["times"], b["times"])
+
+
+def test_create_train_dataset_infers_lmdb_and_cache_keys(tmp_path):
+    """Config-driven factory: lmdb inferred from the dataroot suffix
+    (reference ``options.py:27-38``) and ``cache_keys`` pickle normalized
+    from ``a_b_frame`` entries (``Vimeo7_dataset.py:60-66``)."""
+    import pickle
+
+    pytest.importorskip("cv2")
+    from stif_tpu.data.datasets import create_train_dataset
+
+    _write_septuplet_lmdbs(tmp_path)
+    # reference-style key cache: per-frame entries, duplicated across frames
+    keys = [f"00001_0001_{i}" for i in range(1, 8)] + ["00001_0002_4"]
+    with open(tmp_path / "keys.pkl", "wb") as f:
+        pickle.dump(keys, f)
+    # the written env dirs carry no .lmdb suffix; symlink reference-style
+    # names so suffix inference has something to see
+    (tmp_path / "gt.lmdb").symlink_to(tmp_path / "gt_lmdb")
+    (tmp_path / "lq.lmdb").symlink_to(tmp_path / "lq_lmdb")
+    opt = {
+        "scale": 4,
+        "datasets": {"train": {
+            "mode": "Vimeo7",
+            "dataroot_GT": str(tmp_path / "gt.lmdb"),
+            "dataroot_LQ": str(tmp_path / "lq.lmdb"),
+            "cache_keys": str(tmp_path / "keys.pkl"),
+            "N_frames": 7, "GT_size": 16, "gt_shape": [3, 32, 48],
+        }},
+    }
+    ds, collate = create_train_dataset(opt)
+    assert ds.data_type == "lmdb"
+    assert ds.keys == ["00001_0001", "00001_0002"]
+    sample = ds[0]
+    assert sample["GT"].shape[-3:] == (16, 16, 3)
+    assert callable(collate)

@@ -109,3 +109,32 @@ def test_vimeo7_mc_requires_keys(tmp_path):
     with pytest.raises(ValueError, match="keys"):
         Vimeo7Dataset(str(tmp_path), str(tmp_path), n_frames=7, gt_size=16,
                       scale=4, data_type="mc")
+
+
+def test_create_train_dataset_mc_options(tmp_path):
+    """Config-driven factory plumbs the mc backend options through
+    (explicit ``data_type: mc`` only — reference ``options.py:37-38``)."""
+    import pickle
+
+    pytest.importorskip("cv2")
+    from stif_tpu.data.datasets import create_train_dataset
+
+    with MiniMemcachedServer() as srv:
+        gt_root, lq_root = _seed_folder_and_cache(tmp_path, srv,
+                                                  channel_split=True)
+        with open(tmp_path / "keys.pkl", "wb") as f:
+            pickle.dump(["00001_0001", "00002_0042"], f)
+        opt = {
+            "scale": 4,
+            "datasets": {"train": {
+                "mode": "Vimeo7", "data_type": "mc",
+                "dataroot_GT": str(gt_root), "dataroot_LQ": str(lq_root),
+                "cache_keys": str(tmp_path / "keys.pkl"),
+                "N_frames": 7, "GT_size": 16,
+                "mc_port": srv.port, "mc_channel_split": True,
+            }},
+        }
+        ds, _ = create_train_dataset(opt)
+        assert ds.data_type == "mc" and ds.mc_channel_split
+        sample = ds[0]
+        assert sample["GT"].shape[-3:] == (16, 16, 3)
