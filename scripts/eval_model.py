@@ -31,21 +31,10 @@ def build_eval_set(root: str, n_scenes: int = 4, n_frames: int = 12,
                    size=(144, 192), seed0: int = 990_000) -> str:
     """Render deterministic eval scenes to <root>/scene<k>/*.png (idempotent).
     Seeds are far outside the training sampler's (seed, index) range."""
-    import cv2
+    from stif_tpu.data.synthetic import render_eval_folders
 
-    from stif_tpu.data.synthetic import render_sequence
-
-    os.makedirs(root, exist_ok=True)
-    for k in range(n_scenes):
-        d = os.path.join(root, f"scene{k}")
-        if os.path.isdir(d) and len(os.listdir(d)) == n_frames:
-            continue
-        os.makedirs(d, exist_ok=True)
-        clip = render_sequence(seed0 + k, n_frames, size)
-        for t in range(n_frames):
-            img = (np.clip(clip[t], 0, 1) * 255).round().astype(np.uint8)
-            cv2.imwrite(os.path.join(d, f"{t:03d}.png"), img[..., ::-1])
-    return root
+    return render_eval_folders(root, n_scenes=n_scenes, n_frames=n_frames,
+                               size=size, seed0=seed0)
 
 
 def frame_hold_x8_baseline(gt_root: str, downscale: float = 0.25) -> dict:
@@ -173,6 +162,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-opt", required=True)
     ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--best", action="store_true",
+                    help="load the keep-best weights (best.json) instead of "
+                         "the latest full checkpoint")
+    ap.add_argument("--pth", default=None,
+                    help="load weights from a reference-schema .pth export")
     ap.add_argument("--gather-dtype", default=None, choices=[None, "bf16"])
     ap.add_argument("--mlp-dtype", default=None, choices=[None, "bf16"])
     ap.add_argument("--out", default=None)
@@ -222,14 +216,29 @@ def main():
                              method=net.full_init))()
 
     ckpt_dir = (opt.get("path") or {}).get("models")
-    mgr = CheckpointManager(ckpt_dir)
-    step = args.step if args.step is not None else mgr.latest_step()
-    from stif_tpu.train.trainer import TrainConfig, create_train_state
+    if args.pth:
+        from stif_tpu.convert import load_pth_checkpoint
 
-    state, _ = create_train_state(params, TrainConfig())
-    state = mgr.restore(state, step)
-    params = state.params
-    print(f"restored step {int(state.step)} from {ckpt_dir}")
+        params = load_pth_checkpoint(args.pth, params)
+        ckpt_step = args.step or -1
+        print(f"loaded weights from {args.pth}")
+    elif args.best:
+        from stif_tpu.train.validation import load_best_params
+
+        params, best = load_best_params(ckpt_dir, params)
+        ckpt_step = int(best["step"])
+        print(f"loaded keep-best step {ckpt_step} "
+              f"(dev score {best['score']}) from {ckpt_dir}")
+    else:
+        mgr = CheckpointManager(ckpt_dir)
+        step = args.step if args.step is not None else mgr.latest_step()
+        from stif_tpu.train.trainer import TrainConfig, create_train_state
+
+        state, _ = create_train_state(params, TrainConfig())
+        state = mgr.restore(state, step)
+        params = state.params
+        ckpt_step = int(state.step)
+        print(f"restored step {ckpt_step} from {ckpt_dir}")
 
     gt_root = build_eval_set(args.eval_root, n_scenes=args.scenes)
     baseline = bicubic_baseline(gt_root)
@@ -287,7 +296,7 @@ def main():
 
     rec = {
         "protocol": "vid4_space_time_x4 (myutils.test_metric_full)",
-        "checkpoint_step": int(state.step),
+        "checkpoint_step": ckpt_step,
         "gather_dtype": args.gather_dtype or "fp32",
         "mlp_dtype": args.mlp_dtype or "fp32",
         "psnr_y": {k: round(v, 3) for k, v in res.psnr.items()},

@@ -7,8 +7,11 @@ Usage:
 
 Reads the reference-schema YAML (``codes/options/train/train_zsm.yml``),
 builds dataset + loader + model, runs the jitted (optionally mesh-parallel)
-train loop with LR warmup/cosine restarts, periodic checkpointing and
-validation hooks.
+train loop with LR warmup/cosine restarts, periodic checkpointing, and —
+when ``train.val_freq`` is set (``train_zsm.yml:69``) — an in-process
+Vid4-protocol validation probe on a held-out dev split every ``val_freq``
+steps, with keep-best weights selection (``params_best_<step>`` +
+``val_curve.jsonl`` next to the checkpoints).
 """
 
 import argparse
@@ -98,13 +101,57 @@ def main():
     it = itertools.chain([first], it)
     model.init_params(first["LQs"], first["times"])
     start = 0
+    pretrain = (opt.get("path") or {}).get("pretrain_model_G")
     if args.resume:
-        start = model.resume_training()
-        log.info("resumed at step %d", start)
+        try:
+            start = model.resume_training()
+            log.info("resumed at step %d", start)
+        except FileNotFoundError:
+            # supervisor restart before the first checkpoint: fall back to
+            # the warm-start weights instead of crash-looping
+            if pretrain:
+                model.load_pth(pretrain)
+                log.info("no checkpoint yet; loaded pretrain %s", pretrain)
+    elif pretrain:
+        # warm-start from exported reference-schema weights (the reference's
+        # path.pretrain_model_G, options.py:102-117): params only, fresh
+        # optimizer moments — used for fine-tunes from a .pth deliverable
+        model.load_pth(pretrain)
+        log.info("loaded pretrain weights from %s", pretrain)
 
     ckpt_freq = int(float((opt.get("logger") or {}).get(
         "save_checkpoint_freq", 1000)))
     print_freq = int((opt.get("logger") or {}).get("print_freq", 100))
+
+    # in-training validation (train.val_freq, reference train_zsm.yml:69)
+    val_freq = int(float((opt.get("train") or {}).get("val_freq", 0) or 0))
+    validator = best = None
+    if val_freq and models_dir:
+        from stif_tpu.train.validation import BestTracker, Validator
+
+        vopt = (opt.get("datasets") or {}).get("val") or {}
+        validator = Validator(
+            model.net,
+            root=vopt.get("root", "runs/val_data"),
+            n_scenes=int(vopt.get("n_scenes", 3)),
+        )
+        best = BestTracker(models_dir)
+        log.info("validation every %d steps on %s (keep-best on t0+t0.5 "
+                 "Y-PSNR)", val_freq, validator.root)
+
+    def run_validation(step):
+        vt = time.time()
+        m = validator.validate(model.state.params)
+        is_best = best.update(step, m, model.state.params)
+        log.info(
+            "val @ %d: t0 %.3f t0.5 %.3f (score %.3f, %.0f s)%s", step,
+            m["t0_psnr"], m["t05_psnr"], m["score"], time.time() - vt,
+            " ** new best **" if is_best else "")
+        if tb:
+            tb.add_scalar("val/t0_psnr", m["t0_psnr"], step)
+            tb.add_scalar("val/t05_psnr", m["t05_psnr"], step)
+            tb.add_scalar("val/score", m["score"], step)
+            tb.flush()
 
     step = start
     epoch = 0
@@ -129,6 +176,9 @@ def main():
             if ckpt_freq and step % ckpt_freq == 0 and model.ckpt:
                 model.save()
                 log.info("checkpoint @ %d", step)
+            if validator and step % val_freq == 0:
+                run_validation(step)
+                t0 = time.time()  # don't count val time in it/s
             if step >= niter:
                 break
         epoch += 1
@@ -136,6 +186,8 @@ def main():
 
     if model.ckpt:
         model.save()
+    if validator and step % val_freq != 0:
+        run_validation(step)
     log.info("done at step %d", step)
 
 

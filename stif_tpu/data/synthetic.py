@@ -128,6 +128,34 @@ def render_sequence(seed: int, n_frames: int, size: Tuple[int, int],
     ])
 
 
+def render_eval_folders(root: str, n_scenes: int = 4, n_frames: int = 12,
+                        size: Tuple[int, int] = (144, 192),
+                        seed0: int = 990_000) -> str:
+    """Render deterministic scenes to ``<root>/scene<k>/*.png`` (idempotent).
+
+    Shared by the offline eval harness (``scripts/eval_model.py``, seed0
+    990_000) and the in-training validator (seed0 880_000) — disjoint seed
+    ranges keep the dev split and the held-out eval split distinct, and both
+    sit far outside the training sampler's ``SeedSequence([seed, index])``
+    stream.
+    """
+    import os
+
+    import cv2
+
+    os.makedirs(root, exist_ok=True)
+    for k in range(n_scenes):
+        d = os.path.join(root, f"scene{k}")
+        if os.path.isdir(d) and len(os.listdir(d)) == n_frames:
+            continue
+        os.makedirs(d, exist_ok=True)
+        clip = render_sequence(seed0 + k, n_frames, size)
+        for t in range(n_frames):
+            img = (np.clip(clip[t], 0, 1) * 255).round().astype(np.uint8)
+            cv2.imwrite(os.path.join(d, f"{t:03d}.png"), img[..., ::-1])
+    return root
+
+
 class SyntheticVideoDataset:
     """x8-temporal windows over procedural scenes (AdobeDataset schema).
 

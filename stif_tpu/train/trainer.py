@@ -47,6 +47,12 @@ class TrainConfig:
     eta_min: float = 1e-7
     pixel_criterion: str = "cb"
     pixel_weight: float = 1.0
+    # global-norm gradient clipping (0 = off). The unnormalized summed
+    # Charbonnier loss (~5e4) yields grad norms ~1e6 in healthy training;
+    # round 3's lr-restart spikes reached 8e6 — clip bounds the step a
+    # single bad batch can take. Added to the chain only when set, so the
+    # opt_state layout (and old checkpoints) are unchanged by default.
+    grad_clip: float = 0.0
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -55,10 +61,14 @@ def make_optimizer(cfg: TrainConfig):
                                  cfg.restart_weights, cfg.eta_min),
         cfg.warmup_iter, cfg.lr,
     )
-    tx = optax.chain(
+    parts = []
+    if cfg.grad_clip and cfg.grad_clip > 0:
+        parts.append(optax.clip_by_global_norm(cfg.grad_clip))
+    parts += [
         optax.scale_by_adam(b1=cfg.beta1, b2=cfg.beta2),
         optax.scale_by_schedule(lambda s: -schedule(s)),
-    )
+    ]
+    tx = optax.chain(*parts)
     return tx, schedule
 
 

@@ -57,6 +57,7 @@ class VideoSRModel:
             eta_min=float(tr.get("eta_min", 1e-7)),
             pixel_criterion=tr.get("pixel_criterion", "cb"),
             pixel_weight=float(tr.get("pixel_weight", 1.0)),
+            grad_clip=float(tr.get("grad_clip", 0.0) or 0.0),
         )
         self.state = None
         self.tx = None
