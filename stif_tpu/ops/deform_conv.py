@@ -100,13 +100,22 @@ def split_offset_mask(conv_out, deformable_groups: int, kernel_size: IntPair = 3
 
 def _raw_grouped_gather(xg, sy, sx):
     """xg: (B, H, W, G, CpG); sy, sx: (B, Q, G, K) int starts.
-    Returns (B, Q, G, K, 2, 2, CpG) via one batched patch gather.
+    Returns the patches FLAT: (B, Q*G*K, 4*CpG), rows ordered (q, g, k)
+    row-major, each row holding [p00 p01 p10 p11] contiguously.
 
     Default layout pre-materializes each (2, 2, CpG) patch of each group as
     ONE contiguous 4*CpG row and gathers with 1-D starts — 1.9x faster
     than the multi-dim slice on v5e together with sub-gather splitting
     (GATHER_BENCH_r03.json; the gather cost is ~per-contiguous-run and a
-    (2,2) slice is four runs)."""
+    (2,2) slice is four runs).
+
+    The FLAT return shape is load-bearing for performance: reshaping to
+    (B, Q, G, K, 2, 2, CpG) forces a materialized relayout whose (2, CpG)
+    minor dims tile-pad ~16x on TPU — measured +7.7 ms on the encoder's
+    1.1M-index L1 shape, the dominant cost of the whole DCN
+    (tools/gather_decompose.py: rgg_7d 13.5 ms vs rgg_flat 5.8 ms).
+    Consumers must fold corner weights via lane-aligned slices of the flat
+    row (see ``_dcn_patch_gather``), never via a 7-D einsum."""
     from stif_tpu.ops.gather_utils import _GATHER_LAYOUT, _gather_rows
 
     B, H, W, G, CpG = xg.shape
@@ -120,8 +129,7 @@ def _raw_grouped_gather(xg, sy, sx):
         ], axis=-1).reshape(B, H * W * G, 4 * CpG)
         gi = jnp.arange(G, dtype=jnp.int32)[None, None, :, None]
         ridx = ((sy * W + sx) * G + gi).reshape(B, -1)
-        out = _gather_rows(rows, ridx)
-        return out.reshape(B, Q, G, K, 2, 2, CpG)
+        return _gather_rows(rows, ridx)
     gi = jnp.broadcast_to(
         jnp.arange(G, dtype=jnp.int32)[None, None, :, None], sy.shape
     )
@@ -137,7 +145,7 @@ def _raw_grouped_gather(xg, sy, sx):
     )
     patches = jax.lax.gather(xg, starts, dn,
                              slice_sizes=(1, 2, 2, 1, CpG), mode="clip")
-    return patches.reshape(B, Q, G, K, 2, 2, CpG)
+    return patches.reshape(B, Q * G * K, 4 * CpG)
 
 
 @jax.custom_vjp
@@ -164,7 +172,9 @@ def _gpg_bwd(res, ct):
     dtype = xg.dtype
     Q, K = sy.shape[1], sy.shape[3]
     HW = H * W
-    ct = ct.astype(jnp.float32)
+    # ct arrives FLAT (B, Q*G*K, 4*CpG); view cells on a 6-D axis (the
+    # reshape is fused into the transpose chain below, never a boundary)
+    ct = ct.astype(jnp.float32).reshape(B, Q, G, K, 4, CpG)
     if HW <= ONEHOT_BWD_MAX_HW:
         pix = jnp.arange(HW, dtype=jnp.int32)
         chunk = 16384
@@ -175,7 +185,7 @@ def _gpg_bwd(res, ct):
                 # (B, Q, G, K) -> (B, G, QK)
                 rows.append(((sy + i) * W + (sx + j)).transpose(0, 2, 1, 3)
                             .reshape(B, G, -1))
-                upds.append(ct[..., i, j, :].transpose(0, 2, 1, 3, 4)
+                upds.append(ct[..., 2 * i + j, :].transpose(0, 2, 1, 3, 4)
                             .reshape(B, G, -1, CpG))
         idx = jnp.concatenate(rows, axis=2)                # (B, G, 4QK)
         upd = jnp.concatenate(upds, axis=2)                # (B, G, 4QK, CpG)
@@ -248,11 +258,18 @@ def _dcn_patch_gather(x, py, px, mask, weight, bias, G, gather_dtype=None):
     # one gather per (q, g, k): start = (y, x, g), slice (1, 2, 2, 1, CpG);
     # custom VJP — the x-cotangent uses a one-hot MXU contraction instead of
     # XLA's serial scatter-add
-    patches = _grouped_patch_gather(xg, sy, sx)  # (B, Q, G, K, 2, 2, CpG)
-    wm = (w * mask.astype(f32)[..., None, None]).astype(f32)
-    col = jnp.einsum("bqgkijc,bqgkij->bqkgc", patches.astype(f32), wm)
+    pf = _grouped_patch_gather(xg, sy, sx)  # FLAT (B, Q*G*K, 4*CpG)
+    pf = pf.astype(f32)
+    # Fold the 4 bilinear corner weights via lane-aligned slices of the flat
+    # row — NOT a 7-D (…, 2, 2, CpG) einsum, whose operand materializes with
+    # ~16x tile padding and costs more than the gather itself (measured:
+    # tools/gather_decompose.py, dcn_full 11.9 ms -> see flat fold).
+    wm = (w * mask.astype(f32)[..., None, None]).reshape(B, Q * G * K, 4)
+    col = sum(pf[:, :, c * CpG:(c + 1) * CpG] * wm[:, :, c:c + 1]
+              for c in range(4))                     # (B, Q*G*K, CpG)
+    col = col.reshape(B, Q, G, K, CpG)
     wr = weight.astype(f32).reshape(K, G, CpG, Cout)
-    out = jnp.einsum("bqkgc,kgco->bqo", col, wr, preferred_element_type=f32)
+    out = jnp.einsum("bqgkc,kgco->bqo", col, wr, preferred_element_type=f32)
     if bias is not None:
         out = out + bias.astype(f32)
     return out

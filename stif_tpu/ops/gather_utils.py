@@ -159,11 +159,17 @@ def _gather_rows(rows, ridx):
 
 
 def _raw_gather_patches(x, sy, sx):
+    """Returns the patches FLAT: (B, Q, 4C), each row [p00 p01 p10 p11].
+
+    The flat shape is load-bearing: reshaping to (B, Q, 2, 2, C) forces a
+    materialized relayout whose (2, C) minor dims tile-pad on TPU — measured
+    2x on the decoder stage-C shape (GATHER_BENCH_r03.json decoder_c vs
+    decoder_c_flat). Consumers fold corner weights via lane-aligned slices
+    (``bilinear_gather``)."""
     B, H, W, C = x.shape
     Q = sy.shape[1]
     if _GATHER_LAYOUT == "flat":
-        out = _gather_rows(_patch_rows(x), sy * W + sx)
-        return out.reshape(B, Q, 2, 2, C)
+        return _gather_rows(_patch_rows(x), sy * W + sx)
     starts = jnp.stack([sy, sx], axis=-1)  # (B, Q, 2)
     dn = jax.lax.GatherDimensionNumbers(
         offset_dims=(2, 3, 4),
@@ -174,16 +180,16 @@ def _raw_gather_patches(x, sy, sx):
     )
     out = jax.lax.gather(x, starts, dn, slice_sizes=(1, 2, 2, C),
                          mode="clip")
-    return out.reshape(B, Q, 2, 2, C)
+    return out.reshape(B, Q, 4 * C)
 
 
 def _onehot_patch_transpose(ct, sy, sx, H, W):
     """Dense transpose of the 2x2 patch gather: dx = sum_cells Onehot^T @ ct.
 
-    ct: (B, Q, 2, 2, C); returns dx (B, H, W, C). Chunked over Q to bound the
-    one-hot buffer.
+    ct: (B, Q, 4, C) cell-major view of the flat rows; returns dx
+    (B, H, W, C). Chunked over Q to bound the one-hot buffer.
     """
-    B, Q, _, _, C = ct.shape
+    B, Q, _, C = ct.shape
     HW = H * W
     pix = jnp.arange(HW, dtype=jnp.int32)
     # stack the 4 cells along the row axis
@@ -191,7 +197,7 @@ def _onehot_patch_transpose(ct, sy, sx, H, W):
     for i in range(2):
         for j in range(2):
             rows.append((sy + i) * W + (sx + j))  # (B, Q)
-            upds.append(ct[:, :, i, j])           # (B, Q, C)
+            upds.append(ct[:, :, 2 * i + j])      # (B, Q, C)
     idx = jnp.concatenate(rows, axis=1)           # (B, 4Q)
     upd = jnp.concatenate(upds, axis=1)           # (B, 4Q, C)
     R = idx.shape[1]
@@ -218,7 +224,8 @@ def _onehot_patch_transpose(ct, sy, sx, H, W):
 @jax.custom_vjp
 def gather_patches_2x2(x, sy, sx):
     """x: (B, H, W, C); sy, sx: (B, Q) int32 in-range starts.
-    Returns (B, Q, 2, 2, C) via one batched patch gather.
+    Returns the patches FLAT (B, Q, 4C) — [p00 p01 p10 p11] per row — via
+    one batched patch gather (see ``_raw_gather_patches`` on why flat).
 
     Custom VJP: the x-cotangent uses a dense one-hot MXU contraction for
     LR-sized sources instead of XLA's serial scatter-add."""
@@ -234,6 +241,8 @@ def _gp_bwd(res, ct):
     x, sy, sx = res
     B, H, W, C = x.shape
     dtype = x.dtype
+    Q = sy.shape[1]
+    ct = ct.reshape(B, Q, 4, C)  # cell-major view of the flat rows
     if H * W <= ONEHOT_BWD_MAX_HW:
         dx = _onehot_patch_transpose(ct.astype(jnp.float32), sy, sx, H, W)
         return dx.astype(dtype), None, None
@@ -267,8 +276,12 @@ def bilinear_gather(x, iy, ix, padding_mode: str = "zeros"):
         # above with the unpadded H, W), so the padded values never leak.
         x = jnp.pad(x, ((0, 0), (0, max(0, 2 - H)), (0, max(0, 2 - W)),
                         (0, 0)))
-    patches = gather_patches_2x2(x, sy, sx)  # (B, Q, 2, 2, C)
+    pf = gather_patches_2x2(x, sy, sx).astype(jnp.float32)  # (B, Q, 4C)
     # interpolate in fp32 regardless of the (possibly reduced-precision)
-    # gather source dtype — only the HBM-bound gather itself is narrow
-    return jnp.einsum("bqijc,bqij->bqc", patches.astype(jnp.float32),
-                      w.astype(jnp.float32))
+    # gather source dtype — only the HBM-bound gather itself is narrow.
+    # Corner weights fold via lane-aligned slices of the flat row (a 4-D
+    # (2, 2, C)-minor einsum would materialize a tile-padded relayout).
+    C = pf.shape[-1] // 4
+    wf = w.astype(jnp.float32).reshape(*w.shape[:-2], 4)
+    return sum(pf[..., c * C:(c + 1) * C] * wf[..., c:c + 1]
+               for c in range(4))
