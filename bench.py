@@ -104,6 +104,15 @@ def bench_b1(model, params, dev, rng, tn):
             jnp.clip(model.apply(p, x, t), 0, 1) * 255
         ).astype(jnp.uint8)
     )
+    # XLA's own FLOP count of the compiled workload — the MFU numerator.
+    flops = None
+    try:
+        ca = fwd.lower(params, x, times).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception:
+        pass
     for _ in range(WARMUP):
         np.asarray(fwd(params, x, times))  # force completion
 
@@ -148,7 +157,7 @@ def bench_b1(model, params, dev, rng, tn):
     t_xfer = time.perf_counter() - t0
     stages = {"encode_s": round(t_enc, 4), "decode_s": round(t_dec, 4),
               "transfer_s": round(t_xfer, 4)}
-    return fps, out.shape, stages
+    return fps, out.shape, stages, flops
 
 
 def bench_batched(model, params, dev, rng, tn, batch):
@@ -203,10 +212,15 @@ def bench_batched(model, params, dev, rng, tn, batch):
     return batch * N_TIMES / dt
 
 
+# TPU v5e (v5 lite) peak dense matmul throughput, bf16 with fp32 accum —
+# the MFU denominator (public spec; jax-ml.github.io/scaling-book).
+V5E_PEAK_BF16_FLOPS = 197e12
+
+
 def main():
     _enable_compile_cache()
     model, params, dev, rng, tn = _build()
-    fps1, shape, stages = bench_b1(model, params, dev, rng, tn)
+    fps1, shape, stages, flops = bench_b1(model, params, dev, rng, tn)
     fps_b, batch_err = None, None
     if PAIR_BATCH > 1:
         try:
@@ -224,6 +238,15 @@ def main():
         ref_fps = base.get("torch_cpu_frames_per_sec")
         if ref_fps:
             vs = fps / ref_fps
+    # MFU: XLA-counted FLOPs of the jitted B=1 workload over wall-clock per
+    # window, against v5e bf16 peak. Honest denominator for a gather-bound
+    # model — expect low single digits; the point is tracking it.
+    mfu = None
+    if flops:
+        mfu = flops / (N_TIMES / fps1) / V5E_PEAK_BF16_FLOPS
+
+    from stif_tpu.ops import deform_conv as _dc
+
     rec = {
         "metric": "frames_per_sec",
         "value": round(fps, 3),
@@ -232,11 +255,18 @@ def main():
         "b1_fps": round(fps1, 3),
         "batched_fps": round(fps_b, 3) if fps_b else None,
         "pair_batch": PAIR_BATCH,
+        "mfu": round(mfu, 4) if mfu is not None else None,
+        "workload_tflops": round(flops / 1e12, 3) if flops else None,
         # precision/impl provenance so the headline number is traceable to
-        # its mode from the artifact alone (ADVICE r2)
+        # its mode from the artifact alone (ADVICE r2). NOTE: bf16 gather
+        # sources became the default in r2, bf16 decoder MLP and full
+        # (non-chunked) batched decode in r3 — earlier rounds' headline fps
+        # (r1, r2-fp32 rows) are not apples-to-apples with these defaults.
         "gather_dtype": os.environ.get("BENCH_GATHER_DTYPE", "bf16"),
         "mlp_dtype": os.environ.get("BENCH_MLP_DTYPE", "bf16"),
-        "dcn_impl": os.environ.get("BENCH_DCN_IMPL", "patch"),
+        # the impl actually dispatched (env may ask for one that degrades,
+        # e.g. 'window' falls back to 'patch' on small sources) — ADVICE r3
+        "dcn_impl": _dc._DEFAULT_IMPL,
         "stages": stages,
     }
     if batch_err:

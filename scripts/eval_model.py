@@ -68,7 +68,8 @@ def frame_hold_x8_baseline(gt_root: str, downscale: float = 0.25) -> dict:
             "mean_psnr": float(np.mean([x for v in per_time for x in v]))}
 
 
-def bicubic_baseline(gt_root: str, downscale: float = 0.25) -> dict:
+def bicubic_baseline(gt_root: str, downscale: float = 0.25,
+                     folders=None) -> dict:
     """PSNR/SSIM of MATLAB-bicubic x4 upsampling of the LR inputs (t=0) and
     of frame-hold for t=0.5 — what the model must beat."""
     from stif_tpu.data.native import host_imresize
@@ -77,7 +78,7 @@ def bicubic_baseline(gt_root: str, downscale: float = 0.25) -> dict:
 
     res = {"t0_psnr": [], "t0_ssim": [], "t05_psnr": [], "t05_ssim": []}
     m = int(round(1 / downscale))
-    for name in sorted(os.listdir(gt_root)):
+    for name in folders or sorted(os.listdir(gt_root)):
         folder = os.path.join(gt_root, name)
         if not os.path.isdir(folder):
             continue
@@ -177,6 +178,10 @@ def main():
                     help="comma list of extra spatial scales ('' disables)")
     ap.add_argument("--x16", action="store_true",
                     help="also run the x16 adobe_4x/liif4x protocols")
+    ap.add_argument("--wide", action="store_true",
+                    help="also evaluate the widened 3-family suite "
+                         "(default/occlusion/lighting, 4 scenes each) with "
+                         "per-family mean/std and bicubic baselines")
     args = ap.parse_args()
 
     import jax
@@ -294,6 +299,32 @@ def main():
             "bicubic_x16_t0_psnr_rgb": round(float(np.mean(bi)), 3),
         }
 
+    wide = None
+    if args.wide:
+        from stif_tpu.data.synthetic import render_eval_suite
+
+        suite_root = render_eval_suite("runs/eval_suite")
+        wide = {}
+        for fam in ("default", "occlusion", "lighting"):
+            folders = sorted(d for d in os.listdir(suite_root)
+                             if d.startswith(fam)
+                             and os.path.isdir(os.path.join(suite_root, d)))
+            r = eval_space_time_sr(pipe, suite_root, folders=folders,
+                                   times=(0.5, 0.0))
+            bi = bicubic_baseline(suite_root, folders=folders)
+            pvals = list(r.psnr.values())
+            wide[fam] = {
+                "scenes_psnr_y": {k: round(v, 3) for k, v in r.psnr.items()},
+                "mean_psnr_y": round(r.mean_psnr, 3),
+                "std_psnr_y": round(float(np.std(pvals)), 3),
+                "mean_ssim_y": round(r.mean_ssim, 4),
+                "psnr_y_by_time": {f"t{t}": round(v, 3)
+                                   for t, v in r.psnr_by_time.items()},
+                "ssim_y_by_time": {f"t{t}": round(v, 4)
+                                   for t, v in r.ssim_by_time.items()},
+                "baseline_bicubic": {k: round(v, 3) for k, v in bi.items()},
+            }
+
     rec = {
         "protocol": "vid4_space_time_x4 (myutils.test_metric_full)",
         "checkpoint_step": ckpt_step,
@@ -324,6 +355,8 @@ def main():
         rec["scale_sweep"] = scale_sweep
     if x16:
         rec["x16_protocols"] = x16
+    if wide:
+        rec["wide_suite"] = wide
     print(json.dumps(rec, indent=2))
     if args.out:
         with open(args.out, "w") as f:

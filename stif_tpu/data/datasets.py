@@ -21,6 +21,16 @@ split for the 1 MB value limit) via ``stif_tpu.data.memcache`` — the
 reference's ``mc`` branch with its call-arity bug
 (``Vimeo7_dataset.py:168``) fixed. Unlike the reference, roots/lists are
 arguments — no hardcoded paths.
+
+Memcached KEY SCHEME (deliberate deviation, not parity): values are keyed by
+full path ``<root>/<a>/<b>/im{i}.png`` (and ``<root>_B/_G/_R/...`` for the
+channel split), consistent for LQ and GT. The reference's intended layout —
+bare ``{i}.png`` keys for LQ, ``name_b + '.png'`` under the split roots for
+GT — is unreachable in its own code (the arity bug above makes the branch
+crash before any key is fetched), so there is no working layout to be
+compatible with; a cache populated per the reference's *intended* scheme
+would miss every key here. ``tools``/tests populate caches with this
+repo's scheme.
 """
 
 from __future__ import annotations
@@ -28,6 +38,7 @@ from __future__ import annotations
 import os
 import os.path as osp
 import random
+import threading
 from typing import List, Optional, Sequence
 
 import numpy as np
@@ -76,7 +87,10 @@ class Vimeo7Dataset:
         self.data_type = data_type
         self.mc_host, self.mc_port = mc_host, mc_port
         self.mc_channel_split = mc_channel_split
-        self._mclient = None
+        # thread-local: MemcachedClient shares one socket + read buffer, so
+        # concurrent __getitem__ (num_workers > 1) must not interleave
+        # protocol reads on one connection
+        self._mc_local = threading.local()
         # Reference blob sizes: GT (3, 256, 448), LQ = GT / scale
         # (Vimeo7_dataset.py:171, 185).
         self.gt_shape = tuple(gt_shape)
@@ -115,12 +129,15 @@ class Vimeo7Dataset:
         self.keys = keys
 
     def _mc(self):
-        """Lazy per-worker client (reference ``_ensure_memcached``)."""
-        if self._mclient is None:
+        """Lazy per-thread client (reference ``_ensure_memcached``; one
+        connection per loader thread, since the client is not thread-safe)."""
+        cl = getattr(self._mc_local, "client", None)
+        if cl is None:
             from stif_tpu.data.memcache import MemcachedClient
 
-            self._mclient = MemcachedClient(self.mc_host, self.mc_port)
-        return self._mclient
+            cl = MemcachedClient(self.mc_host, self.mc_port)
+            self._mc_local.client = cl
+        return cl
 
     def _read_img_mc(self, key: str) -> np.ndarray:
         """PNG bytes by path key -> BGR HWC uint8 (``_read_img_mc``)."""

@@ -29,8 +29,24 @@ import numpy as np
 
 
 def sample_scene(rng: np.random.Generator, canvas: Tuple[int, int] = (360, 480),
-                 n_bg: int = 10, n_fg: int = 3, max_speed: float = 3.0) -> dict:
-    """Draw scene parameters. Speeds are HR pixels per frame step."""
+                 n_bg: int = 10, n_fg: int = 3, max_speed: float = 3.0,
+                 family: str = "default") -> dict:
+    """Draw scene parameters. Speeds are HR pixels per frame step.
+
+    Families (harder held-out domains; the reference's data is natural
+    video with exactly these failure modes, ``codes/data/Vimeo7_dataset.py``):
+      * ``default``   — the training distribution (byte-identical draws to
+                        the pre-family sampler for a given rng state);
+      * ``occlusion`` — more, larger, faster, near-opaque blobs with
+                        crossing trajectories: dense occlusion boundaries
+                        stress the flow/alignment stages;
+      * ``lighting``  — a global illumination ramp over time (gain + bias
+                        drift) breaks the brightness-constancy assumption
+                        the alignment implicitly relies on.
+    """
+    if family == "occlusion":
+        n_fg = n_fg + 3
+        max_speed = max_speed * 1.5
     H, W = canvas
     # background sinusoids: wavelengths log-uniform in [6, 96] px — the x4 LR
     # grid's Nyquist wavelength is 8 px, so part of the band is only
@@ -42,7 +58,18 @@ def sample_scene(rng: np.random.Generator, canvas: Tuple[int, int] = (360, 480),
     amp = rng.normal(0, 1, (n_bg, 3)).astype(np.float32)
     amp *= 0.38 / np.abs(amp).sum(0, keepdims=True).clip(1e-6)
     n_fg = int(rng.integers(max(1, n_fg - 1), n_fg + 2))
+    # family-specific extras drawn AFTER the base draws so 'default' scenes
+    # stay byte-identical to the pre-family sampler for a given rng state
+    gain_slope = bias_slope = np.float32(0.0)
+    opacity_lo = 0.75
+    if family == "lighting":
+        gain_slope = np.float32(rng.uniform(-0.035, 0.035))
+        bias_slope = np.float32(rng.uniform(-0.02, 0.02))
+    elif family == "occlusion":
+        opacity_lo = 0.92
     return {
+        "gain_slope": gain_slope,
+        "bias_slope": bias_slope,
         "canvas": canvas,
         "bg_freq": freq.astype(np.float32),
         "bg_phase": phase.astype(np.float32),
@@ -60,7 +87,7 @@ def sample_scene(rng: np.random.Generator, canvas: Tuple[int, int] = (360, 480),
                               (n_fg, 2)).astype(np.float32),
         "fg_sigma": rng.uniform(9.0, 42.0, n_fg).astype(np.float32),
         "fg_color": rng.uniform(0.08, 0.92, (n_fg, 3)).astype(np.float32),
-        "fg_opacity": rng.uniform(0.75, 1.0, n_fg).astype(np.float32),
+        "fg_opacity": rng.uniform(opacity_lo, 1.0, n_fg).astype(np.float32),
         "fg_lam": np.exp(rng.uniform(np.log(5.0), np.log(28.0),
                                      n_fg)).astype(np.float32),
         "fg_tex_amp": rng.uniform(0.05, 0.22, (n_fg, 3)).astype(np.float32),
@@ -114,15 +141,23 @@ def render_frame(scene: dict, t: float, size: Tuple[int, int],
             wave[..., None] * scene["fg_tex_amp"][i][None, None, :])
         img = img * (1.0 - alpha[..., None]) + col * alpha[..., None]
 
+    # global illumination drift ('lighting' family; zero slopes otherwise —
+    # .get keeps pre-family scene dicts working)
+    gs = float(scene.get("gain_slope", 0.0))
+    bs = float(scene.get("bias_slope", 0.0))
+    if gs or bs:
+        img = img * (1.0 + gs * t) + bs * t
+
     return np.clip(img, 0.0, 1.0).astype(np.float32)
 
 
 def render_sequence(seed: int, n_frames: int, size: Tuple[int, int],
                     frame_step: float = 1.0,
-                    canvas: Optional[Tuple[int, int]] = None) -> np.ndarray:
+                    canvas: Optional[Tuple[int, int]] = None,
+                    family: str = "default") -> np.ndarray:
     """(n_frames, H, W, 3) clip of one scene — eval sequences / demos."""
     rng = np.random.default_rng(seed)
-    scene = sample_scene(rng, canvas=canvas or size)
+    scene = sample_scene(rng, canvas=canvas or size, family=family)
     return np.stack([
         render_frame(scene, i * frame_step, size) for i in range(n_frames)
     ])
@@ -153,6 +188,34 @@ def render_eval_folders(root: str, n_scenes: int = 4, n_frames: int = 12,
         for t in range(n_frames):
             img = (np.clip(clip[t], 0, 1) * 255).round().astype(np.uint8)
             cv2.imwrite(os.path.join(d, f"{t:03d}.png"), img[..., ::-1])
+    return root
+
+
+def render_eval_suite(root: str, n_per_family: int = 4, n_frames: int = 12,
+                      size: Tuple[int, int] = (144, 192),
+                      seed0: int = 990_000,
+                      families=("default", "occlusion", "lighting")) -> str:
+    """The WIDENED held-out eval set (VERDICT r3 item 8): ``n_per_family``
+    scenes per family rendered to ``<root>/<family><k>/*.png`` (idempotent).
+    The 'default' scenes reuse the classic eval seeds (seed0 + k) and are
+    pixel-identical to ``render_eval_folders``'s scene<k>; harder families
+    get disjoint seed blocks."""
+    import os
+
+    import cv2
+
+    os.makedirs(root, exist_ok=True)
+    for fi, fam in enumerate(families):
+        for k in range(n_per_family):
+            d = os.path.join(root, f"{fam}{k}")
+            if os.path.isdir(d) and len(os.listdir(d)) == n_frames:
+                continue
+            os.makedirs(d, exist_ok=True)
+            clip = render_sequence(seed0 + fi * 1000 + k, n_frames, size,
+                                   family=fam)
+            for t in range(n_frames):
+                img = (np.clip(clip[t], 0, 1) * 255).round().astype(np.uint8)
+                cv2.imwrite(os.path.join(d, f"{t:03d}.png"), img[..., ::-1])
     return root
 
 

@@ -357,7 +357,9 @@ def _dcn_window_gather(x, py, px, mask, weight, bias, G,
     extracted from the window by two separable one-hot contractions
     (VPU/MXU math, no further gathers).
 
-    Exactness: identical to the patch path whenever every nonzero-weight
+    Exactness: equal to the patch path to fp32 rounding (the separable
+    one-hot contraction sums bilinear weights in a different order than
+    the patch path's folded weights) whenever every nonzero-weight
     bilinear corner of every tap lands inside its (query, group) window;
     a runtime ``lax.cond`` dispatches the whole call to the patch path
     otherwise, so the op is exact for ANY offsets (the fallback predicate

@@ -249,9 +249,11 @@ class TestDenseShiftDCN:
 class TestWindowDCN:
     """Tap-clustered window gather (impl='window') vs the patch path.
 
-    Contract: byte-exact equality with impl='patch' for ANY offsets —
-    via the fast windowed path when taps fit their (Wy, Wx) window, via
-    the runtime lax.cond fallback when they escape."""
+    Contract: equality with impl='patch' to fp32 rounding for ANY offsets
+    (the separable one-hot contraction sums bilinear weights in a different
+    order than the patch path's folded weights) — via the fast windowed path
+    when taps fit their (Wy, Wx) window, via the runtime lax.cond fallback
+    when they escape."""
 
     def _mk(self, rng, scale, H=10, W=12, B=2, Cin=8, Cout=6, G=2):
         x = rng.standard_normal((B, H, W, Cin)).astype(np.float32)

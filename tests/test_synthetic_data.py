@@ -8,6 +8,8 @@ mixed pair-span option (``interval_choices``) added after round-2 evals
 showed span-8-only training mismatched the eval protocols' span-2 queries.
 """
 
+import os
+
 import numpy as np
 
 from stif_tpu.data.synthetic import SyntheticVideoDataset, render_frame, sample_scene
@@ -60,3 +62,55 @@ def test_interval_choices_mixes_spans():
     for i in range(10):
         t = ds[i]["times"]
         assert t.shape == (3,) and t.min() >= 0 and t.max() <= 1
+
+
+def test_scene_families():
+    """Widened eval domains (VERDICT r3 item 8): 'default' draws are
+    byte-identical to the pre-family sampler; 'occlusion' raises blob count
+    and opacity; 'lighting' drifts global illumination over time."""
+    from stif_tpu.data.synthetic import render_sequence, sample_scene
+
+    # default: family arg must not perturb the rng stream
+    a = render_sequence(123, 3, (32, 40))
+    b = render_sequence(123, 3, (32, 40), family="default")
+    np.testing.assert_array_equal(a, b)
+
+    rng = np.random.default_rng(7)
+    occ = sample_scene(rng, canvas=(64, 80), family="occlusion")
+    rng = np.random.default_rng(7)
+    dft = sample_scene(rng, canvas=(64, 80), family="default")
+    assert occ["fg_pos"].shape[0] > dft["fg_pos"].shape[0]
+    assert occ["fg_opacity"].min() >= 0.92
+    assert float(occ["gain_slope"]) == 0.0
+
+    rng = np.random.default_rng(11)
+    lit = sample_scene(rng, canvas=(64, 80), family="lighting")
+    assert float(lit["gain_slope"]) != 0.0 or float(lit["bias_slope"]) != 0.0
+    # the illumination ramp must change mean brightness noticeably vs the
+    # same scene with slopes zeroed
+    from stif_tpu.data.synthetic import render_frame
+
+    f8 = render_frame(lit, 8.0, (32, 40))
+    lit0 = dict(lit, gain_slope=np.float32(0.0), bias_slope=np.float32(0.0))
+    f8_flat = render_frame(lit0, 8.0, (32, 40))
+    assert abs(float(f8.mean()) - float(f8_flat.mean())) > 1e-3
+
+
+def test_render_eval_suite(tmp_path):
+    from stif_tpu.data.synthetic import render_eval_suite
+
+    root = render_eval_suite(str(tmp_path / "suite"), n_per_family=1,
+                             n_frames=3, size=(24, 32))
+    names = sorted(os.listdir(root))
+    assert names == ["default0", "lighting0", "occlusion0"]
+    for n in names:
+        assert len(os.listdir(os.path.join(root, n))) == 3
+    # default scenes must be pixel-identical to the classic eval set
+    from stif_tpu.data.synthetic import render_eval_folders
+    import cv2
+
+    classic = render_eval_folders(str(tmp_path / "classic"), n_scenes=1,
+                                  n_frames=3, size=(24, 32))
+    a = cv2.imread(os.path.join(root, "default0", "000.png"))
+    b = cv2.imread(os.path.join(classic, "scene0", "000.png"))
+    np.testing.assert_array_equal(a, b)
