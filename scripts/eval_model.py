@@ -303,9 +303,16 @@ def main():
     if args.wide:
         from stif_tpu.data.synthetic import render_eval_suite
 
+        from stif_tpu.data.natural import build_natural_eval_set
+
         suite_root = render_eval_suite("runs/eval_suite")
+        # natural-photo panning sequences (real image statistics; gated on
+        # bundled photos being present) join the suite as a 4th family
+        nat_names = build_natural_eval_set(suite_root)
+        fams = ("default", "occlusion", "lighting") + (
+            ("natural",) if nat_names else ())
         wide = {}
-        for fam in ("default", "occlusion", "lighting"):
+        for fam in fams:
             folders = sorted(d for d in os.listdir(suite_root)
                              if d.startswith(fam)
                              and os.path.isdir(os.path.join(suite_root, d)))

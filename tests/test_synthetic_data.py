@@ -114,3 +114,32 @@ def test_render_eval_suite(tmp_path):
     a = cv2.imread(os.path.join(root, "default0", "000.png"))
     b = cv2.imread(os.path.join(classic, "scene0", "000.png"))
     np.testing.assert_array_equal(a, b)
+
+
+def test_natural_eval_set(tmp_path):
+    """Natural-photo panning sequences: real bundled photographs, exact
+    integer-pixel motion (no resampling). Gated on photos being present."""
+    from stif_tpu.data.natural import (build_natural_eval_set,
+                                       find_natural_textures,
+                                       render_pan_sequence)
+
+    if not find_natural_textures():
+        import pytest
+
+        pytest.skip("no bundled photos in this environment")
+    names = build_natural_eval_set(str(tmp_path / "nat"), n_frames=4,
+                                   size=(48, 64))
+    assert names, "photos found but nothing rendered"
+    import cv2
+
+    d = tmp_path / "nat" / names[0]
+    frames = sorted(os.listdir(d))
+    assert len(frames) == 4
+    a = cv2.imread(str(d / frames[0]))
+    assert a.shape == (48, 64, 3)
+    # integer-pan exactness: frame t shifted by -vel*t must equal frame 0
+    # on the overlap (pixels copied, not resampled)
+    img = np.arange(100 * 120 * 3, dtype=np.uint8).reshape(100, 120, 3)
+    clip = render_pan_sequence(img, 3, (32, 40), vel=(2, 3))
+    np.testing.assert_array_equal(clip[1][:-2 or None, : 40 - 3],
+                                  clip[0][2:, 3:][: 32 - 2, : 40 - 3])
