@@ -178,6 +178,12 @@ def main():
                     help="comma list of extra spatial scales ('' disables)")
     ap.add_argument("--x16", action="store_true",
                     help="also run the x16 adobe_4x/liif4x protocols")
+    ap.add_argument("--local-ensemble", action="store_true",
+                    help="decode via decoding_localensemble (4 shifted "
+                         "area-weighted passes, Sakuya_arch_test.py:962)")
+    ap.add_argument("--test-mode", action="store_true",
+                    help="decode via decoding_test (hr-input upsample, the "
+                         "reference test_metric_full variant)")
     ap.add_argument("--wide", action="store_true",
                     help="also evaluate the widened 3-family suite "
                          "(default/occlusion/lighting, 4 scenes each) with "
@@ -249,7 +255,9 @@ def main():
     baseline = bicubic_baseline(gt_root)
 
     pipe = InferencePipeline(net, jax.device_put(params, jax.devices()[0]),
-                             scale=4, bucket=8)
+                             scale=4, bucket=8,
+                             test_mode=args.test_mode,
+                             local_ensemble=args.local_ensemble)
     t0 = time.time()
     res = eval_space_time_sr(pipe, gt_root, times=(0.5, 0.0))
     wall = time.time() - t0
@@ -337,6 +345,8 @@ def main():
         "checkpoint_step": ckpt_step,
         "gather_dtype": args.gather_dtype or "fp32",
         "mlp_dtype": args.mlp_dtype or "fp32",
+        "decode_mode": ("localensemble" if args.local_ensemble else
+                        "test" if args.test_mode else "decoding"),
         "psnr_y": {k: round(v, 3) for k, v in res.psnr.items()},
         "ssim_y": {k: round(v, 4) for k, v in res.ssim.items()},
         "mean_psnr_y": round(res.mean_psnr, 3),

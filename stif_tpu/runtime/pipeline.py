@@ -76,11 +76,16 @@ class InferencePipeline:
     """Shape-bucketed jitted inference over frame pairs / windows."""
 
     def __init__(self, model, params, scale: int = 4, bucket: int = 16,
-                 device=None, test_mode: bool = False):
+                 device=None, test_mode: bool = False,
+                 local_ensemble: bool = False):
         self.model = model
         self.scale = scale
         self.bucket = bucket
         self.test_mode = test_mode
+        # decoding_localensemble: 4 area-weighted shifted decode passes
+        # (reference ``Sakuya_arch_test.py:962-1085``) — a quality/compute
+        # trade the reference exposes as its own eval mode
+        self.local_ensemble = local_ensemble
         self.device = device or jax.devices()[0]
         self.params = jax.device_put(params, self.device)
         self._cache: Dict[Tuple, object] = {}
@@ -90,10 +95,11 @@ class InferencePipeline:
         if key not in self._cache:
             model = self.model
             test = self.test_mode
+            le = self.local_ensemble
 
             def f(params, x, times):
                 return model.apply(params, x, times, out_size=out_size,
-                                   test=test)
+                                   test=test, local_ensemble=le)
 
             self._cache[key] = jax.jit(f)
         return self._cache[key]
