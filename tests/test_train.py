@@ -173,3 +173,38 @@ class TestTrainStep:
         assert np.isfinite(m_ps["loss"])
         # distinct per-sample times change the loss vs truncating to row 0
         assert abs(float(m_ps["loss"]) - float(m_row0["loss"])) > 1e-6
+
+
+class TestGradClip:
+    def test_clip_bounds_update_norm(self):
+        """train.grad_clip: global-norm clipping caps the effective gradient
+        the optimizer consumes; without it the same huge gradient produces a
+        (warmup-scaled) full-size Adam step. Chain layout without clipping is
+        unchanged (old opt_states stay restorable)."""
+        import optax
+
+        from stif_tpu.train.trainer import TrainConfig, make_optimizer
+
+        p = {"w": jnp.zeros((8,))}
+        g = {"w": jnp.full((8,), 1e8)}
+
+        cfg0 = TrainConfig(T_period=(100,), restarts=(), restart_weights=())
+        tx0, _ = make_optimizer(cfg0)
+        assert len(tx0.init(p)) == 2  # adam + schedule only
+
+        cfg = TrainConfig(T_period=(100,), restarts=(), restart_weights=(),
+                          grad_clip=1.0)
+        tx, _ = make_optimizer(cfg)
+        st = tx.init(p)
+        assert len(st) == 3  # clip + adam + schedule
+        up, _ = tx.update(g, st, p)
+        # clipped g has norm 1 -> adam normalizes to ~unit update * lr
+        n = float(optax.global_norm(up))
+        assert n <= cfg.lr * np.sqrt(8) * 1.2
+
+        # clipping is a no-op for small grads (exact same update as cfg0)
+        g_small = {"w": jnp.linspace(0.1, 0.2, 8)}
+        up_a, _ = tx.update(g_small, tx.init(p), p)
+        up_b, _ = tx0.update(g_small, tx0.init(p), p)
+        np.testing.assert_allclose(np.asarray(up_a["w"]),
+                                   np.asarray(up_b["w"]), rtol=1e-7)

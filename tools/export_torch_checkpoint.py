@@ -24,6 +24,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("-opt", required=True)
     ap.add_argument("--step", type=int, default=None)
+    ap.add_argument("--best", action="store_true",
+                    help="export the keep-best weights (best.json) instead "
+                         "of the latest full checkpoint")
     ap.add_argument("--out", required=True)
     ap.add_argument("--platform", default="cpu")
     args = ap.parse_args()
@@ -47,17 +50,25 @@ def main():
     params = jax.jit(
         lambda: net.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 16, 16, 3)),
                          jnp.asarray([0.5]), method=net.full_init))()
-    mgr = CheckpointManager((opt.get("path") or {}).get("models"))
-    step = args.step if args.step is not None else mgr.latest_step()
-    state, _ = create_train_state(params, TrainConfig())
-    state = mgr.restore(state, step)
+    models_dir = (opt.get("path") or {}).get("models")
+    if args.best:
+        from stif_tpu.train.validation import load_best_params
 
-    sd = flax_params_to_torch_state(state.params)
+        wts, info = load_best_params(models_dir, params)
+        step = int(info["step"])
+    else:
+        mgr = CheckpointManager(models_dir)
+        step = args.step if args.step is not None else mgr.latest_step()
+        state, _ = create_train_state(params, TrainConfig())
+        state = mgr.restore(state, step)
+        wts, step = state.params, int(state.step)
+
+    sd = flax_params_to_torch_state(wts)
     tensors = {k: torch.from_numpy(v.copy()) for k, v in sd.items()}
     torch.save(tensors, args.out)
     n = sum(v.numel() for v in tensors.values())
     print(f"wrote {args.out}: {len(tensors)} tensors, {n:,} params "
-          f"(checkpoint step {int(state.step)})")
+          f"(checkpoint step {step})")
 
 
 if __name__ == "__main__":
