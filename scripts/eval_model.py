@@ -178,6 +178,9 @@ def main():
                     help="comma list of extra spatial scales ('' disables)")
     ap.add_argument("--x16", action="store_true",
                     help="also run the x16 adobe_4x/liif4x protocols")
+    ap.add_argument("--self-ensemble", action="store_true",
+                    help="x8 geometric self-ensemble (beyond-parity optional "
+                         "mode; 8x decode compute)")
     ap.add_argument("--local-ensemble", action="store_true",
                     help="decode via decoding_localensemble (4 shifted "
                          "area-weighted passes, Sakuya_arch_test.py:962)")
@@ -257,7 +260,8 @@ def main():
     pipe = InferencePipeline(net, jax.device_put(params, jax.devices()[0]),
                              scale=4, bucket=8,
                              test_mode=args.test_mode,
-                             local_ensemble=args.local_ensemble)
+                             local_ensemble=args.local_ensemble,
+                             self_ensemble=args.self_ensemble)
     t0 = time.time()
     res = eval_space_time_sr(pipe, gt_root, times=(0.5, 0.0))
     wall = time.time() - t0
@@ -346,7 +350,8 @@ def main():
         "gather_dtype": args.gather_dtype or "fp32",
         "mlp_dtype": args.mlp_dtype or "fp32",
         "decode_mode": ("localensemble" if args.local_ensemble else
-                        "test" if args.test_mode else "decoding"),
+                        "test" if args.test_mode else "decoding")
+                       + ("+self_ensemble" if args.self_ensemble else ""),
         "psnr_y": {k: round(v, 3) for k, v in res.psnr.items()},
         "ssim_y": {k: round(v, 4) for k, v in res.ssim.items()},
         "mean_psnr_y": round(res.mean_psnr, 3),

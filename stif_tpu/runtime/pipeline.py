@@ -77,7 +77,7 @@ class InferencePipeline:
 
     def __init__(self, model, params, scale: int = 4, bucket: int = 16,
                  device=None, test_mode: bool = False,
-                 local_ensemble: bool = False):
+                 local_ensemble: bool = False, self_ensemble: bool = False):
         self.model = model
         self.scale = scale
         self.bucket = bucket
@@ -86,6 +86,10 @@ class InferencePipeline:
         # (reference ``Sakuya_arch_test.py:962-1085``) — a quality/compute
         # trade the reference exposes as its own eval mode
         self.local_ensemble = local_ensemble
+        # geometric self-ensemble (the standard EDSR x8 dihedral average) —
+        # NOT a reference mode; an optional beyond-parity quality/compute
+        # trade. Purely spatial transforms, so query times are unchanged.
+        self.self_ensemble = self_ensemble
         self.device = device or jax.devices()[0]
         self.params = jax.device_put(params, self.device)
         self._cache: Dict[Tuple, object] = {}
@@ -108,6 +112,12 @@ class InferencePipeline:
                       times: Sequence[float]) -> np.ndarray:
         """frames: (N, H, W, 3) float32 [0,1] RGB LR frames ->
         (nt, H*scale, W*scale, 3)."""
+        if self.self_ensemble:
+            return self._render_window_ensemble(frames, times)
+        return self._render_window_raw(frames, times)
+
+    def _render_window_raw(self, frames: np.ndarray,
+                           times: Sequence[float]) -> np.ndarray:
         x, (h, w) = pad_to_multiple(frames, 4, self.bucket)
         x = jnp.asarray(x[None])
         t = jnp.asarray(np.asarray(times, np.float32))
@@ -117,6 +127,30 @@ class InferencePipeline:
         out = fwd(self.params, x, t)
         out = np.asarray(out)[:, 0]
         return out[:, : h * self.scale, : w * self.scale]
+
+    def _render_window_ensemble(self, frames: np.ndarray,
+                                times: Sequence[float]) -> np.ndarray:
+        """x8 geometric self-ensemble: average the prediction over the
+        dihedral group (flips + transpose); 8x compute, two compiled shapes
+        (the transpose swaps H and W)."""
+        acc = None
+        for k in range(8):
+            f = frames
+            if k & 1:
+                f = f[:, :, ::-1]
+            if k & 2:
+                f = f[:, ::-1]
+            if k & 4:
+                f = np.transpose(f, (0, 2, 1, 3))
+            o = self._render_window_raw(np.ascontiguousarray(f), times)
+            if k & 4:
+                o = np.transpose(o, (0, 2, 1, 3))
+            if k & 2:
+                o = o[:, ::-1]
+            if k & 1:
+                o = o[:, :, ::-1]
+            acc = o if acc is None else acc + o
+        return acc / 8.0
 
     def render_window_tmnet(self, frames: np.ndarray,
                             times: Sequence[float]) -> np.ndarray:

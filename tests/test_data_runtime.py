@@ -262,3 +262,26 @@ class TestTensorBoardWriter:
         assert evs[1] == {**evs[1], "tag": "train/loss", "step": 10}
         assert abs(evs[1]["value"] - 1.5) < 1e-6
         assert abs(evs[2]["value"] - 30.25) < 1e-6
+
+
+def test_self_ensemble_transform_inverse_pairing():
+    """x8 geometric self-ensemble: for a transform-equivariant renderer
+    (nearest x4 upscale commutes with flips/transpose), the ensemble must
+    equal the raw output exactly — proving each dihedral transform is
+    inverted correctly on the way out."""
+    from stif_tpu.runtime.pipeline import InferencePipeline
+
+    pipe = InferencePipeline.__new__(InferencePipeline)
+    pipe.self_ensemble = True
+    pipe.scale = 4
+
+    def raw(frames, times):
+        return np.stack([np.repeat(np.repeat(frames[0], 4, 0), 4, 1)
+                         for _ in times])
+
+    pipe._render_window_raw = raw
+    rng = np.random.default_rng(0)
+    frames = rng.random((2, 12, 16, 3)).astype(np.float32)
+    want = raw(frames, [0.0, 0.5])
+    got = pipe.render_window(frames, [0.0, 0.5])
+    np.testing.assert_allclose(got, want, atol=1e-6)
