@@ -80,6 +80,25 @@ def create_train_state(params, cfg: TrainConfig):
     ), tx
 
 
+def make_loss_fn(model, cfg: TrainConfig):
+    """``loss_fn(params, batch) -> scalar``: pixel loss summed over time
+    indices, like ``optimize_parameters`` (:123-129). Shared by the train
+    step and standalone (forward-only) loss evaluation."""
+    criterion = make_pixel_criterion(cfg.pixel_criterion)
+
+    def loss_fn(params, batch):
+        gt = batch["gt"]
+        nt, HH, WW = gt.shape[1], gt.shape[2], gt.shape[3]
+        preds = model.apply(params, batch["lqs"], batch["times"],
+                            out_size=(HH, WW))  # (nt, B, HH, WW, 3)
+        l_pix = 0.0
+        for t in range(nt):
+            l_pix = l_pix + cfg.pixel_weight * criterion(preds[t], gt[:, t])
+        return l_pix
+
+    return loss_fn
+
+
 def make_train_step(model, tx, cfg: TrainConfig):
     """Returns ``train_step(state, batch) -> (state, metrics)``.
 
@@ -90,18 +109,7 @@ def make_train_step(model, tx, cfg: TrainConfig):
                 ``gt[b, t]`` is the frame at ``times[b, t]`` (the reference's
                 per-sample pe conditioning, ``Sakuya_arch.py:396``).
     """
-    criterion = make_pixel_criterion(cfg.pixel_criterion)
-
-    def loss_fn(params, batch):
-        gt = batch["gt"]
-        nt, HH, WW = gt.shape[1], gt.shape[2], gt.shape[3]
-        preds = model.apply(params, batch["lqs"], batch["times"],
-                            out_size=(HH, WW))  # (nt, B, HH, WW, 3)
-        # sum over time indices, like optimize_parameters (:123-129)
-        l_pix = 0.0
-        for t in range(nt):
-            l_pix = l_pix + cfg.pixel_weight * criterion(preds[t], gt[:, t])
-        return l_pix
+    loss_fn = make_loss_fn(model, cfg)
 
     def train_step(state: TrainState, batch):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
