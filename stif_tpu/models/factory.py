@@ -29,6 +29,8 @@ def define_g(opt: dict):
                 import jax.numpy as jnp
 
                 kwargs[key] = jnp.bfloat16
+        if net.get("rgb_skip"):
+            kwargs["rgb_skip"] = True
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)

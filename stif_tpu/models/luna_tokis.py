@@ -79,6 +79,17 @@ class LunaTokis(nn.Module):
     gather_dtype: object = None  # e.g. jnp.bfloat16: 1.5x faster DCN gathers
     mlp_dtype: object = None     # e.g. jnp.bfloat16: half-width decoder MLP
     lstm_unroll: bool = False    # python-loop LSTM (instrumentation only)
+    # Residual decode head (training-recipe option, default off = reference
+    # semantics): stage D predicts a residual over the time-blended warped
+    # input samples already gathered for encode_imnet,
+    #   rgb += (1-t) * q_img1[frame 0] + t * q_img2[frame N-1],
+    # so at t=0 the zero-residual output is the (flow-refined) upsample of
+    # the input frame and training starts at interpolation quality instead
+    # of learning identity from scratch. Costs nothing: both terms are
+    # existing stage-C gathers. Not in the reference (its encode_imnet
+    # regresses absolute RGB, ``Sakuya_arch_test.py:455-457``); parameter
+    # schema is unchanged, so checkpoints remain reference-convertible.
+    rgb_skip: bool = False
 
     def setup(self):
         nf = self.nf
@@ -255,6 +266,8 @@ class LunaTokis(nn.Module):
         rgb = self.encode_imnet(
             (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe)
         )
+        if self.rgb_skip:
+            rgb = rgb + (1.0 - pe) * q_img1[..., :3] + pe * q_img2[..., -3:]
         return rgb.reshape(nt, B, HH, WW, 3), area
 
     def _decode_prep(self, feat_t, inp, hr_inp_upsample: bool):
@@ -426,6 +439,8 @@ class LunaTokis(nn.Module):
                               (nt, B, Cq, 1)).reshape(ntB, Cq, 1)
         rgb = self.encode_imnet(
             (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe))
+        if self.rgb_skip:
+            rgb = rgb + (1.0 - pe) * q_img1[..., :3] + pe * q_img2[..., -3:]
         return rgb
 
     def decode_zoom(self, feat_t, inp, times, out_size, window, center,

@@ -285,3 +285,47 @@ def test_self_ensemble_transform_inverse_pairing():
     want = raw(frames, [0.0, 0.5])
     got = pipe.render_window(frames, [0.0, 0.5])
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+class TestRgbSkip:
+    """``rgb_skip=True``: stage D adds the time-blended warped-input samples
+    (a training-recipe residual head; default off = reference semantics)."""
+
+    @pytest.mark.slow
+    def test_skip_is_convex_blend_of_input(self, rng):
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.runtime.chunked import ChunkedDecoder
+
+        kw = dict(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        base = LunaTokis(**kw)
+        skip = LunaTokis(rgb_skip=True, **kw)
+        x = jnp.asarray(0.25 + 0.5 * rng.random((1, 2, 8, 12, 3)
+                                                ).astype(np.float32))
+        times = jnp.asarray([0.0, 0.5, 1.0])
+        params = base.init(jax.random.PRNGKey(0), x, times,
+                           method=base.full_init)
+        feat = base.apply(params, x, method=base.gen_feat)
+        out_b = np.asarray(base.apply(params, feat, x, times,
+                                      method=base.decode))
+        out_s = np.asarray(skip.apply(params, feat, x, times,
+                                      method=skip.decode))
+        # the added term is a convex time-blend of bilinear samples of the
+        # input (values in [0.25, 0.75]; border queries blend with the
+        # zero padding) — bounded by [0, input max]
+        diff = out_s - out_b
+        assert diff.min() >= -1e-5 and diff.max() <= 0.75 + 1e-5
+        assert np.abs(diff).mean() > 0.1  # and actually present
+
+        # chunked decode applies the same skip (stage C+D path)
+        dec = ChunkedDecoder(skip, params, chunk_size=500)
+        got = dec.decode(feat, x, times, (32, 48))
+        np.testing.assert_allclose(got, out_s, atol=2e-5)
+
+    def test_factory_plumbs_flag(self):
+        from stif_tpu.models.factory import define_g
+
+        net = dict(which_model_G="LIIF", nf=8, groups=2, front_RBs=1,
+                   back_RBs=1, rgb_skip=True)
+        assert define_g({"network_G": net}).rgb_skip is True
+        net.pop("rgb_skip")
+        assert define_g({"network_G": net}).rgb_skip is False
