@@ -1,30 +1,33 @@
 #!/bin/bash
-# Round-4 end-of-training runbook: run AFTER the r4 fine-tune supervisor
-# exits (train.log ends with "done at step"). Each stage writes its artifact
-# and is safe to re-run. Assumes the TPU is otherwise free.
+# Round-4 end-of-training runbook: run AFTER the r4s supervisor exits
+# (train.log ends with "done at step") or after stopping the run at a
+# keep-best point. Each stage writes its artifact and is safe to re-run.
+# Assumes the TPU is otherwise free.
 set -x
 cd "$(dirname "$0")/.."
+OPT=configs/train_synthetic_r4s.yml
+
+# 0. persist the best weights INSIDE git (the mid-round VM re-provision
+#    wiped runs/ including every checkpoint of rounds 2-4a; never again)
+python tools/export_torch_checkpoint.py -opt $OPT --best \
+    --out weights/trained_best_G.pth
 
 # 1. quality: keep-best eval, reference protocol + scale sweep + x16 + wide
-python scripts/eval_model.py -opt configs/train_synthetic_r4.yml --best \
+python scripts/eval_model.py -opt $OPT --best \
     --scale-sweep 2,3,8 --x16 --wide --out EVAL_r04.json
 
 # 2. bf16 gate on the same weights (mandate: <=0.01 dB delta to default bench mode)
-python scripts/eval_model.py -opt configs/train_synthetic_r4.yml --best \
+python scripts/eval_model.py -opt $OPT --best \
     --gather-dtype bf16 --mlp-dtype bf16 --scale-sweep "" \
     --out EVAL_r04_bf16.json
 
-# 3. reference-schema export of the best weights
-python tools/export_torch_checkpoint.py -opt configs/train_synthetic_r4.yml \
-    --best --out runs/synthetic_r4/trained_best_G.pth
-
-# 4. perf: profile (flat-gather encode attribution) + microbench refresh
+# 3. perf: profile (flat-gather encode attribution) + microbench refresh
 python tools/profile_bench.py --out PROFILE_r04.json --trace-dir runs/profile/r4
 python tools/gather_decompose.py > GATHER_DECOMPOSE_r04.jsonl
 python tools/gather_bench.py > GATHER_BENCH_r04.json
 
-# 5. headline bench: B=1 + the B=2 batched trial (VERDICT item 5)
+# 4. headline bench: B=1 + the B=2 batched trial (VERDICT item 5)
 BENCH_PAIR_BATCH=2 python bench.py | tee BENCH_TRIAL_r04.json
 
-# 6. multichip dryrun (flagship train step now included)
+# 5. multichip dryrun (flagship train step now included)
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
