@@ -151,6 +151,33 @@ class TestRuntime:
 
 class TestChunkedDecoder:
     @pytest.mark.slow
+    def test_time_split_decode_equality(self, rng):
+        """decode over split time sets == decode over all times.
+
+        The property bench.py's B=2 "tsplit" batched mode relies on: the
+        B=2 nt=8 full-decode program exceeds the axon remote-compile
+        helper, so decode runs as two nt/2 dispatches; times must be fully
+        independent through the decoder (the time axis folds into batch,
+        luna_tokis._decode_pass)."""
+        from stif_tpu.models import LunaTokis
+
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        x = jnp.asarray(rng.random((2, 2, 8, 12, 3)).astype(np.float32))
+        times = jnp.asarray([0.0, 0.25, 0.5, 1.0])
+        params = model.init(jax.random.PRNGKey(0), x, times,
+                            method=model.full_init)
+        feat = model.apply(params, x, method=model.gen_feat)
+        want = np.asarray(model.apply(params, feat, x, times,
+                                      method=model.decode))
+        got = np.concatenate([
+            np.asarray(model.apply(params, feat, x, times[:2],
+                                   method=model.decode)),
+            np.asarray(model.apply(params, feat, x, times[2:],
+                                   method=model.decode)),
+        ], axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-6)
+
+    @pytest.mark.slow
     def test_matches_direct_decode(self, rng):
         from stif_tpu.models import LunaTokis
         from stif_tpu.runtime.chunked import ChunkedDecoder
