@@ -25,6 +25,7 @@ python scripts/eval_model.py -opt $OPT --best \
 python tools/profile_bench.py --out PROFILE_r04.json --trace-dir runs/profile/r4
 python tools/gather_decompose.py > GATHER_DECOMPOSE_r04.jsonl
 python tools/gather_bench.py > GATHER_BENCH_r04.json
+python tools/decode_decompose.py > DECODE_DECOMPOSE_r04.jsonl
 
 # 4. headline bench: B=1 + the B=2 batched trial (VERDICT item 5)
 BENCH_PAIR_BATCH=2 python bench.py | tee BENCH_TRIAL_r04.json
