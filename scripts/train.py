@@ -142,15 +142,28 @@ def main():
     def run_validation(step):
         vt = time.time()
         m = validator.validate(model.state.params)
-        is_best = best.update(step, m, model.state.params)
+        m["is_ema"] = 0.0
+        cand, cand_params = m, model.state.params
+        ema_note = ""
+        if model.ema_params is not None:
+            me = validator.validate(model.ema_params)
+            me["is_ema"] = 1.0
+            ema_note = " ema %.3f" % me["score"]
+            if me["score"] > m["score"]:
+                cand, cand_params = me, model.ema_params
+        is_best = best.update(step, cand, cand_params)
         log.info(
-            "val @ %d: t0 %.3f t0.5 %.3f (score %.3f, %.0f s)%s", step,
-            m["t0_psnr"], m["t05_psnr"], m["score"], time.time() - vt,
-            " ** new best **" if is_best else "")
+            "val @ %d: t0 %.3f t0.5 %.3f (score %.3f%s, %.0f s)%s", step,
+            m["t0_psnr"], m["t05_psnr"], m["score"], ema_note,
+            time.time() - vt,
+            " ** new best **" + (" (ema)" if cand is not m else "")
+            if is_best else "")
         if tb:
             tb.add_scalar("val/t0_psnr", m["t0_psnr"], step)
             tb.add_scalar("val/t05_psnr", m["t05_psnr"], step)
             tb.add_scalar("val/score", m["score"], step)
+            if model.ema_params is not None:
+                tb.add_scalar("val/ema_score", me["score"], step)
             tb.flush()
 
     step = start

@@ -48,12 +48,25 @@ class CheckpointManager:
             step, args=ocp.args.StandardRestore(abstract_state)
         )
 
-    def save_params_only(self, params, step: int):
-        """The ``<iter>_G.pth`` equivalent: weights only."""
-        path = os.path.join(self.directory, f"params_{step}")
+    def save_params_only(self, params, step: int, prefix: str = "params",
+                         keep: int = 0):
+        """The ``<iter>_G.pth`` equivalent: weights only. ``keep`` > 0 prunes
+        older ``<prefix>_*`` snapshots down to the newest ``keep``."""
+        path = os.path.join(self.directory, f"{prefix}_{step}")
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(path, params)
         ckptr.wait_until_finished()
+        if keep > 0:
+            import re
+            import shutil
+
+            pat = re.compile(rf"^{re.escape(prefix)}_(\d+)$")
+            found = sorted(
+                (int(m.group(1)), n) for n in os.listdir(self.directory)
+                if (m := pat.match(n)))
+            for _, name in found[:-keep]:
+                shutil.rmtree(os.path.join(self.directory, name),
+                              ignore_errors=True)
         return path
 
 

@@ -13,6 +13,7 @@ function of the step (exact resume for free).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import numpy as np
@@ -65,6 +66,17 @@ class VideoSRModel:
         self._test_fn = None
         self.parallel = parallel
         self.log = {}
+        # Exponential moving average of the params (train.ema_decay, 0 = off).
+        # Kept OUTSIDE TrainState so the optimizer-checkpoint layout (and the
+        # reference's .state schema mapping) is unchanged; saved/restored as a
+        # sibling ``ema_params_<step>`` weights-only checkpoint. EMA weights
+        # average over ~1/(1-decay) steps, smoothing the lr-driven val
+        # oscillation the round-4 curves show — validation probes both and
+        # keep-best takes the better.
+        tr = opt.get("train") or {}
+        self.ema_decay = float(tr.get("ema_decay", 0.0) or 0.0)
+        self.ema_params = None
+        self._ema_fn = None
         models_dir = (opt.get("path") or {}).get("models")
         self.ckpt = CheckpointManager(models_dir) if models_dir else None
         self._batch = None
@@ -87,6 +99,11 @@ class VideoSRModel:
             init_fn = jax.jit(lambda k: self.net.init(k, x0, t0))
         params = init_fn(jax.random.PRNGKey(seed))
         self.state, self.tx = create_train_state(params, self.cfg)
+        if self.ema_decay > 0:
+            self.ema_params = self.state.params
+            d = self.ema_decay
+            self._ema_fn = jax.jit(lambda e, p: jax.tree.map(
+                lambda a, b: d * a + (1.0 - d) * b, e, p))
         if self.parallel:
             mesh = default_mesh()
             self._step_fn = make_parallel_train_step(
@@ -116,6 +133,9 @@ class VideoSRModel:
     def optimize_parameters(self, step: Optional[int] = None):
         assert self.state is not None, "call init_params first"
         self.state, metrics = self._step_fn(self.state, self._batch)
+        if self.ema_params is not None:
+            self.ema_params = self._ema_fn(self.ema_params,
+                                           self.state.params)
         self.log = {k: float(v) for k, v in metrics.items()}
         return self.log
 
@@ -140,7 +160,11 @@ class VideoSRModel:
 
     def save(self, step: Optional[int] = None):
         assert self.ckpt is not None
-        return self.ckpt.save(self.state)
+        ret = self.ckpt.save(self.state)
+        if self.ema_params is not None:
+            self.ckpt.save_params_only(self.ema_params, int(self.state.step),
+                                       prefix="ema_params", keep=2)
+        return ret
 
     def save_network(self, step: int):
         assert self.ckpt is not None
@@ -149,6 +173,18 @@ class VideoSRModel:
     def resume_training(self, step: Optional[int] = None):
         assert self.ckpt is not None and self.state is not None
         self.state = self.ckpt.restore(self.state, step)
+        if self.ema_decay > 0:
+            # restore the EMA snapshot written with this checkpoint; a
+            # supervisor restart from a pre-EMA checkpoint re-seeds from the
+            # raw params (EMA re-converges within ~1/(1-decay) steps)
+            from stif_tpu.train.checkpoints import load_params
+
+            path = os.path.join(self.ckpt.directory,
+                                f"ema_params_{int(self.state.step)}")
+            if os.path.exists(path):
+                self.ema_params = load_params(path, self.state.params)
+            else:
+                self.ema_params = self.state.params
         return int(self.state.step)
 
     def load_pth(self, path: str):
@@ -157,6 +193,8 @@ class VideoSRModel:
 
         params = load_pth_checkpoint(path, self.state.params)
         self.state = self.state.replace(params=params)
+        if self.ema_decay > 0:  # re-seed EMA from the warm-start weights
+            self.ema_params = params
 
 
 def from_torch_batch(batch: dict) -> dict:

@@ -160,6 +160,47 @@ class TestFacade:
         out = model.test()
         assert out.shape == (2, 1, 32, 32, 3)
 
+    @pytest.mark.slow
+    def test_ema_tracks_and_survives_resume(self, rng, tmp_path):
+        """train.ema_decay keeps a params EMA outside TrainState: it lags the
+        raw params, checkpoints as a sibling ema_params_<step> snapshot, and
+        resume restores it exactly."""
+        from stif_tpu.train.video_sr_model import VideoSRModel
+
+        opt = {
+            "model": "VideoSR_base",
+            "is_train": True,
+            "network_G": {"which_model_G": "LIIF", "nf": 8, "groups": 2,
+                          "front_RBs": 1, "back_RBs": 1, "nframes": 6},
+            "train": {"lr_G": 1e-3, "T_period": [100, 100],
+                      "restarts": [100], "restart_weights": [1],
+                      "ema_decay": 0.9},
+            "path": {"models": str(tmp_path / "models")},
+        }
+        model = VideoSRModel(opt)
+        lqs = rng.random((1, 2, 8, 8, 3)).astype(np.float32)
+        gt = rng.random((1, 2, 32, 32, 3)).astype(np.float32)
+        times = np.asarray([0.0, 0.5], np.float32)
+        model.init_params(lqs, times)
+        model.feed_data({"LQs": lqs, "GT": gt, "times": times})
+        p0 = np.asarray(jax.tree.leaves(model.state.params)[0])
+        for _ in range(3):
+            model.optimize_parameters()
+        raw = np.asarray(jax.tree.leaves(model.state.params)[0])
+        ema = np.asarray(jax.tree.leaves(model.ema_params)[0])
+        # EMA lags: strictly between init and raw (elementwise mean gap)
+        assert not np.allclose(ema, raw)
+        assert np.abs(ema - p0).mean() < np.abs(raw - p0).mean()
+        # checkpoint round-trip restores the EMA exactly
+        step = model.save()
+        ema_before = ema
+        model.optimize_parameters()
+        assert not np.allclose(
+            np.asarray(jax.tree.leaves(model.ema_params)[0]), ema_before)
+        model.resume_training(step)
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(model.ema_params)[0]), ema_before)
+
     def test_from_torch_batch(self, rng):
         from stif_tpu.train.video_sr_model import from_torch_batch
 

@@ -5,7 +5,8 @@
 # Assumes the TPU is otherwise free.
 set -x
 cd "$(dirname "$0")/.."
-OPT=configs/train_synthetic_r4s.yml
+# default to the fine-tune run; override with OPT=... for the from-scratch run
+OPT=${OPT:-configs/train_synthetic_r4s_ft.yml}
 
 # 0. persist the best weights INSIDE git (the mid-round VM re-provision
 #    wiped runs/ including every checkpoint of rounds 2-4a; never again)
