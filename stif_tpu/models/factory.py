@@ -31,6 +31,10 @@ def define_g(opt: dict):
                 kwargs[key] = jnp.bfloat16
         if net.get("rgb_skip"):
             kwargs["rgb_skip"] = True
+            # network_G.rgb_skip: bicubic — skip gathers a bicubic
+            # pre-upsample (see LunaTokis.rgb_skip_bicubic)
+            if str(net.get("rgb_skip")).lower() == "bicubic":
+                kwargs["rgb_skip_bicubic"] = True
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)

@@ -90,6 +90,18 @@ class LunaTokis(nn.Module):
     # regresses absolute RGB, ``Sakuya_arch_test.py:455-457``); parameter
     # schema is unchanged, so checkpoints remain reference-convertible.
     rgb_skip: bool = False
+    # With ``rgb_skip``: gather the skip term from a MATLAB-bicubic
+    # pre-upsample of the input frames (at the decode out_size) instead of
+    # from the LR frames directly — the zero-residual floor at t=0 becomes
+    # exactly bicubic-upsample quality (the classic residual-over-bicubic
+    # SISR parameterization, cf. VDSR), and mid-time skips are
+    # bicubic-sharp warped samples. encode_imnet inputs are UNCHANGED
+    # (q_img1/q_img2 still come from the LR gathers), so checkpoints warm-
+    # start across this flag; costs two extra 3-channel gathers in stage D.
+    # Falls back to the LR skip for explicit-coords windows (decode_zoom),
+    # where the full-frame pre-upsample resolution would not match the
+    # query density.
+    rgb_skip_bicubic: bool = False
 
     def setup(self):
         nf = self.nf
@@ -158,13 +170,17 @@ class LunaTokis(nn.Module):
     # ---------------------------------------------------------------- decoder
 
     def _decode_pass(self, feat, inp_cat, hr_inp, coord_q, coord_ref, times,
-                     HH: int, WW: int, identity_b: bool = False):
+                     HH: int, WW: int, identity_b: bool = False,
+                     skip_hr=None):
         """One decode pass over a regular (HH, WW) query window.
 
         ``coord_q``:   (B, Q, 2) (y, x) gather coordinates (possibly shifted —
                        local ensemble — and clamped);
         ``coord_ref``: (B, Q, 2) unshifted query coordinates (rel-coord
-                       reference).
+                       reference);
+        ``skip_hr``:   optional (B, HH, WW, 6) bicubic pre-upsample of the
+                       [first, last] input frames — the ``rgb_skip_bicubic``
+                       skip source, gathered at the stage-C warp grids.
         Returns (rgb (nt, B, HH, WW, 3), area (B, Q)).
 
         The query-time axis folds into the batch axis: every stage runs once
@@ -267,8 +283,24 @@ class LunaTokis(nn.Module):
             (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe)
         )
         if self.rgb_skip:
-            rgb = rgb + (1.0 - pe) * q_img1[..., :3] + pe * q_img2[..., -3:]
+            if skip_hr is not None:
+                s1 = gs_b(tile_t(skip_hr[..., :3]), g1)
+                s2 = gs_b(tile_t(skip_hr[..., 3:]), g2)
+            else:
+                s1, s2 = q_img1[..., :3], q_img2[..., -3:]
+            rgb = rgb + (1.0 - pe) * s1 + pe * s2
         return rgb.reshape(nt, B, HH, WW, 3), area
+
+    def _skip_source(self, inp_cat, out_size, full_grid: bool):
+        """(B, HH, WW, 6) bicubic pre-upsample of the [first, last] input
+        frames when ``rgb_skip_bicubic`` applies (full-grid decode only),
+        else None."""
+        if not (self.rgb_skip and self.rgb_skip_bicubic and full_grid):
+            return None
+        from stif_tpu.ops.resize import imresize_to
+
+        src = jnp.concatenate([inp_cat[..., :3], inp_cat[..., -3:]], axis=-1)
+        return imresize_to(src, out_size)
 
     def _decode_prep(self, feat_t, inp, hr_inp_upsample: bool):
         # the reference decoder always consumes exactly the first 3 temporal
@@ -317,16 +349,19 @@ class LunaTokis(nn.Module):
             coord = coords
         coord = jnp.broadcast_to(coord[None], (B,) + coord.shape)
 
+        skip_hr = self._skip_source(inp_cat, (HH, WW), coords is None)
+
         if not local_ensemble:
             # remat the decode pass: its gathered fields and SIREN hidden
             # activations (the dominant training residuals) are recomputed in
             # the backward pass instead of stored. No effect on inference.
-            def pass_fn(mdl, feat_, inp_cat_, hr_inp_, cq, cr, t):
+            def pass_fn(mdl, feat_, inp_cat_, hr_inp_, cq, cr, t, sk):
                 return mdl._decode_pass(feat_, inp_cat_, hr_inp_, cq, cr, t,
-                                        HH, WW, identity_b=coords is None)
+                                        HH, WW, identity_b=coords is None,
+                                        skip_hr=sk)
 
             rgb, _ = nn.remat(pass_fn)(self, feat, inp_cat, hr_inp, coord,
-                                       coord, times)
+                                       coord, times, skip_hr)
             return rgb
 
         rx = 2.0 / H / 2.0
@@ -338,7 +373,8 @@ class LunaTokis(nn.Module):
                                     coord.dtype)
                 coord_s = jnp.clip(coord + shift, -1 + _EPS, 1 - _EPS)
                 rgb, area = self._decode_pass(feat, inp_cat, hr_inp, coord_s,
-                                              coord, times, HH, WW)
+                                              coord, times, HH, WW,
+                                              skip_hr=skip_hr)
                 preds.append(rgb)
                 areas.append(area)
         tot = sum(areas)
@@ -401,12 +437,14 @@ class LunaTokis(nn.Module):
         return hrfeat, flow
 
     def decode_chunk_cd(self, hrfeat_full, feat, hr_inp, flow_chunk,
-                        base_grid_chunk, times, out_size):
+                        base_grid_chunk, times, out_size, skip_hr=None):
         """Stages C+D for one query chunk, gathering from the FULL HR field.
 
         hrfeat_full (nt*B, HH, WW, 64); flow_chunk (nt*B, Cq, 4);
         base_grid_chunk (Cq, 2) — the align_corners=True lattice values (x, y)
-        of this chunk's pixels on the full (HH, WW) canvas."""
+        of this chunk's pixels on the full (HH, WW) canvas;
+        skip_hr: optional (B, HH, WW, 6) bicubic skip source
+        (``rgb_skip_bicubic``)."""
         HH, WW = out_size
         B = feat.shape[0]
         ntB, Cq = flow_chunk.shape[0], flow_chunk.shape[1]
@@ -440,7 +478,12 @@ class LunaTokis(nn.Module):
         rgb = self.encode_imnet(
             (q_feat1, q_feat2, q_feat3, q_feat4, q_img1, q_img2, pe))
         if self.rgb_skip:
-            rgb = rgb + (1.0 - pe) * q_img1[..., :3] + pe * q_img2[..., -3:]
+            if skip_hr is not None:
+                s1 = gs_b(tile_t(skip_hr[..., :3]), g1)
+                s2 = gs_b(tile_t(skip_hr[..., 3:]), g2)
+            else:
+                s1, s2 = q_img1[..., :3], q_img2[..., -3:]
+            rgb = rgb + (1.0 - pe) * s1 + pe * s2
         return rgb
 
     def decode_zoom(self, feat_t, inp, times, out_size, window, center,

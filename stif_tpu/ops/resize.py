@@ -110,6 +110,23 @@ def imresize(img, scale: float, antialiasing: bool = True):
     return out
 
 
+def imresize_to(img, out_hw, antialiasing: bool = True):
+    """MATLAB-convention bicubic resize of ``img`` (..., H, W, C) to an
+    explicit ``(out_h, out_w)`` — per-dim scales, so non-uniform and
+    non-integer output sizes are exact (``imresize`` takes one scale for
+    both dims). fp32 throughout; jittable for static output sizes."""
+    img = jnp.asarray(img, dtype=jnp.float32)
+    in_h, in_w = img.shape[-3], img.shape[-2]
+    out_h, out_w = int(out_hw[0]), int(out_hw[1])
+    M_h = jnp.asarray(_matlab_resize_matrix(in_h, out_h, out_h / in_h,
+                                            antialiasing))
+    M_w = jnp.asarray(_matlab_resize_matrix(in_w, out_w, out_w / in_w,
+                                            antialiasing))
+    out = jnp.einsum("oh,...hwc->...owc", M_h, img, precision=_PREC)
+    out = jnp.einsum("ow,...hwc->...hoc", M_w, out, precision=_PREC)
+    return out
+
+
 def imresize_np(img: np.ndarray, scale: float,
                 antialiasing: bool = True) -> np.ndarray:
     """Host-side (pure NumPy) MATLAB bicubic — same matrices as ``imresize``.

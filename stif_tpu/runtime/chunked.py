@@ -75,10 +75,15 @@ class ChunkedDecoder:
                 method=m.decode_chunk_ab)
         )
         self._cd = jax.jit(
-            lambda p, hrfeat, feat, hr_inp, flow, bg, t, hh, ww: m.apply(
-                p, hrfeat, feat, hr_inp, flow, bg, t, (hh, ww),
+            lambda p, hrfeat, feat, hr_inp, flow, bg, t, sk, hh, ww: m.apply(
+                p, hrfeat, feat, hr_inp, flow, bg, t, (hh, ww), skip_hr=sk,
                 method=m.decode_chunk_cd),
-            static_argnums=(7, 8),
+            static_argnums=(8, 9),
+        )
+        self._skip = jax.jit(
+            lambda p, inp_cat, hh, ww: m.apply(
+                p, inp_cat, (hh, ww), True, method=m._skip_source),
+            static_argnums=(2, 3),
         )
 
     def decode(self, feat_t, inp, times, out_size: Tuple[int, int],
@@ -128,12 +133,22 @@ class ChunkedDecoder:
             hrfeat_full = jax.device_put(
                 hrfeat_full, NamedSharding(self.mesh, P()))
 
+        # rgb_skip_bicubic: bicubic pre-upsample of [first, last] input
+        # frames, computed once and gathered per chunk (like hrfeat_full)
+        skip_hr = None
+        if getattr(self.model, "rgb_skip", False) and \
+                getattr(self.model, "rgb_skip_bicubic", False):
+            skip_hr = self._skip(self.params, inp_cat, HH, WW)
+            if self.mesh is not None:
+                skip_hr = jax.device_put(
+                    skip_hr, NamedSharding(self.mesh, P()))
+
         # pass 2: stage C+D per dispatch from the full field
         outs = []
         for i in range(n_steps):
             bg = put_queries(base_grid[i * S:(i + 1) * S], 0)
             rgb = self._cd(self.params, hrfeat_full, feat, hr_inp,
-                           flow_chunks[i], bg, times, HH, WW)
+                           flow_chunks[i], bg, times, skip_hr, HH, WW)
             outs.append(np.asarray(rgb))
         out = np.concatenate(outs, axis=1)[:, :Q]
         return out.reshape(nt, B, HH, WW, 3)

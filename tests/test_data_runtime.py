@@ -356,3 +356,56 @@ class TestRgbSkip:
         assert define_g({"network_G": net}).rgb_skip is True
         net.pop("rgb_skip")
         assert define_g({"network_G": net}).rgb_skip is False
+        net["rgb_skip"] = "bicubic"
+        m = define_g({"network_G": net})
+        assert m.rgb_skip is True and m.rgb_skip_bicubic is True
+
+    @pytest.mark.slow
+    def test_bicubic_skip_chunked_equals_full(self, rng):
+        """rgb_skip_bicubic: same params (warm-start compatible), output
+        differs from the bilinear skip, and the chunked path gathers the
+        same bicubic source as the full decode."""
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.runtime.chunked import ChunkedDecoder
+
+        kw = dict(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        lin = LunaTokis(rgb_skip=True, **kw)
+        bic = LunaTokis(rgb_skip=True, rgb_skip_bicubic=True, **kw)
+        x = jnp.asarray(0.25 + 0.5 * rng.random((1, 2, 8, 12, 3)
+                                                ).astype(np.float32))
+        times = jnp.asarray([0.0, 0.5, 1.0])
+        params = lin.init(jax.random.PRNGKey(0), x, times,
+                          method=lin.full_init)
+        # identical param trees: the flag adds no params
+        p2 = bic.init(jax.random.PRNGKey(0), x, times, method=bic.full_init)
+        assert jax.tree.structure(params) == jax.tree.structure(p2)
+
+        feat = lin.apply(params, x, method=lin.gen_feat)
+        out_lin = np.asarray(lin.apply(params, feat, x, times,
+                                       method=lin.decode))
+        out_bic = np.asarray(bic.apply(params, feat, x, times,
+                                       method=bic.decode))
+        assert np.abs(out_bic - out_lin).mean() > 1e-4  # flag does something
+        assert np.isfinite(out_bic).all()
+
+        dec = ChunkedDecoder(bic, params, chunk_size=500)
+        got = dec.decode(feat, x, times, (32, 48))
+        np.testing.assert_allclose(got, out_bic, atol=2e-5)
+
+        # non-integer out_size works (arbitrary-scale protocol)
+        o = bic.apply(params, feat, x, jnp.asarray([0.3]), out_size=(20, 30),
+                      method=bic.decode)
+        assert o.shape == (1, 1, 20, 30, 3) and bool(jnp.isfinite(o).all())
+
+    def test_imresize_to_matches_imresize(self, rng):
+        from stif_tpu.ops.resize import imresize, imresize_to
+
+        img = rng.random((6, 8, 3)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(imresize_to(img, (24, 32))),
+            np.asarray(imresize(img, 4.0)), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(imresize_to(img, (3, 4))),
+            np.asarray(imresize(img, 0.5)), atol=1e-6)
+        # non-uniform target just works
+        assert imresize_to(img, (9, 20)).shape == (9, 20, 3)
