@@ -22,6 +22,10 @@ python scripts/eval_model.py -opt $OPT --best \
     --gather-dtype bf16 --mlp-dtype bf16 --scale-sweep "" \
     --out EVAL_r04_bf16.json
 
+# 2b. x8 geometric self-ensemble (separate, clearly-labeled protocol row)
+python scripts/eval_model.py -opt $OPT --best --self-ensemble \
+    --scale-sweep "" --out EVAL_r04_ens.json
+
 # 3. perf: profile (flat-gather encode attribution) + microbench refresh
 python tools/profile_bench.py --out PROFILE_r04.json --trace-dir runs/profile/r4
 python tools/gather_decompose.py > GATHER_DECOMPOSE_r04.jsonl
