@@ -7,7 +7,9 @@ cd "$(dirname "$0")/.."
 OPT=${1:-configs/train_synthetic_r4s.yml}
 python tools/export_torch_checkpoint.py -opt "$OPT" --best \
     --out weights/trained_best_G.pth --platform cpu
-cp runs/synthetic_r4s/models/val_curve.jsonl weights/val_curve.jsonl 2>/dev/null || true
+MODELS=$(python -c "import yaml,sys; print(yaml.safe_load(open('$OPT'))['path']['models'])")
+cp "$MODELS/val_curve.jsonl" weights/val_curve.jsonl 2>/dev/null || true
+cp "$MODELS/best.json" weights/best.json 2>/dev/null || true
 git add weights/
 git commit -q -m "weights: persist current keep-best generator (mid-run snapshot)" || true
 git log --oneline -1
