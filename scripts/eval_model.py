@@ -352,6 +352,8 @@ def main():
         "decode_mode": ("localensemble" if args.local_ensemble else
                         "test" if args.test_mode else "decoding")
                        + ("+self_ensemble" if args.self_ensemble else ""),
+        "rgb_skip": ("bicubic" if getattr(net, "rgb_skip_bicubic", False)
+                     else bool(getattr(net, "rgb_skip", False))),
         "psnr_y": {k: round(v, 3) for k, v in res.psnr.items()},
         "ssim_y": {k: round(v, 4) for k, v in res.ssim.items()},
         "mean_psnr_y": round(res.mean_psnr, 3),
