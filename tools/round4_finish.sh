@@ -26,6 +26,12 @@ python scripts/eval_model.py -opt $OPT --best \
 python scripts/eval_model.py -opt $OPT --best --self-ensemble \
     --scale-sweep "" --out EVAL_r04_ens.json
 
+# 2c. decoding_localensemble — reference-native decode mode
+#     (Sakuya_arch_test.py:962-1085); CPU probe of the step-3000 weights
+#     measured +0.18 dB t0 / +0.17 dB t0.5 over plain decoding
+python scripts/eval_model.py -opt $OPT --best --local-ensemble \
+    --scale-sweep "" --out EVAL_r04_le.json
+
 # 3. perf: profile (flat-gather encode attribution) + microbench refresh
 python tools/profile_bench.py --out PROFILE_r04.json --trace-dir runs/profile/r4
 python tools/gather_decompose.py > GATHER_DECOMPOSE_r04.jsonl
