@@ -166,6 +166,13 @@ def main():
                 tb.add_scalar("val/ema_score", me["score"], step)
             tb.flush()
 
+    # Seed keep-best with the STARTING params when no best exists yet:
+    # a warm-started fine-tune must never "select" a first probe that is
+    # worse than the weights it started from (keep-best is a floor, not
+    # just an argmax over the run's own probes).
+    if validator and best.best is None:
+        run_validation(start)
+
     step = start
     epoch = 0
     t0 = time.time()
