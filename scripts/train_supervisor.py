@@ -77,6 +77,10 @@ def main():
 
     def launch(resume: bool) -> int:
         cmd = train_cmd + (["--resume"] if resume else [])
+        # train.py creates models_dir itself, but the supervisor opens the
+        # stdout log first — on a fresh VM (runs/ wiped) that crashed the
+        # launch before the trainer ever started.
+        os.makedirs(models_dir, exist_ok=True)
         with open(out_path, "ab") as out:
             p = subprocess.Popen(cmd, stdout=out, stderr=subprocess.STDOUT)
         print(f"[supervisor] launched pid {p.pid} (resume={resume})",
