@@ -28,7 +28,7 @@ fi
 
 # 1. quality: reference protocol + scale sweep + x16 + wide families
 python scripts/eval_model.py -opt $OPT --pth $PTH \
-    --scale-sweep 2,3,8 --x16 --wide --out EVAL_r04.json
+    --scale-sweep 2,3,8 --x16 --wide --out EVAL_r04_plain.json
 
 # 2. bf16 gate on the same weights (mandate: <=0.01 dB delta)
 python scripts/eval_model.py -opt $OPT --pth $PTH \
@@ -43,6 +43,11 @@ python scripts/eval_model.py -opt $OPT --pth $PTH --local-ensemble \
 #     pre-ft2 probe of this mode is EVAL_r04_le_se.json: t0 36.027)
 python scripts/eval_model.py -opt $OPT --pth $PTH --local-ensemble \
     --self-ensemble --scale-sweep "" --out EVAL_r04_le_se.json
+
+# 2d. merge the per-mode runs into the single mandate artifact
+python tools/aggregate_eval.py --plain EVAL_r04_plain.json \
+    --bf16 EVAL_r04_bf16.json --le EVAL_r04_le.json \
+    --le-se EVAL_r04_le_se.json --out EVAL_r04.json
 
 # 3. perf: profile (flat-gather encode attribution) + microbench refresh
 python tools/profile_bench.py --out PROFILE_r04.json --trace-dir runs/profile/r4
