@@ -209,6 +209,42 @@ def main():
     timed("encode_imnet", run_encode_imnet, params, q1, q2, q3, q4,
           i1, i2, pe)
 
+    # A/B: split the first-layer matmul across the tuple parts
+    # (y = sum_i x_i @ W_i + b) instead of materializing the (NTB, Q, 525)
+    # concat. Same math to fp32 rounding; measures whether the concat
+    # materialization or the K-padding of small parts dominates.
+    enc_scope = params["params"]["encode_imnet"]
+    w0 = jnp.asarray(enc_scope["layer0"]["kernel"])
+    b0 = jnp.asarray(enc_scope["layer0"]["bias"])
+    rest_w = [jnp.asarray(enc_scope[f"layer{i}"]["kernel"])
+              for i in range(1, 5)]
+    rest_b = [jnp.asarray(enc_scope[f"layer{i}"]["bias"])
+              for i in range(1, 5)]
+
+    def run_encode_split(*xs):
+        off = 0
+        y = b0
+        for x in xs:
+            k = x.shape[-1]
+            w = w0[off:off + k]
+            if md is not None:
+                x = x.astype(md)
+                w = w.astype(md)
+            y = y + jnp.dot(x, w, preferred_element_type=jnp.float32)
+            off += k
+        h = jnp.sin(30.0 * y)
+        for i, (w, b) in enumerate(zip(rest_w, rest_b)):
+            if md is not None:
+                h = h.astype(md)
+                w = w.astype(md)
+            h = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+            if i < len(rest_w) - 1:
+                h = jnp.sin(30.0 * h)
+        return h
+
+    timed("encode_imnet_splitK", run_encode_split, q1, q2, q3, q4,
+          i1, i2, pe)
+
     def full(p, x, t):
         f = model.apply(p, x, method=model.gen_feat)
         return model.apply(p, f, x, t, method=model.decode)
