@@ -183,6 +183,18 @@ def main():
 
     timed("stageC_hr", stage_c_hr, hrfeat, g1, g2)
 
+    # A/B: HR field already stored bf16 (no cast-at-gather): halves the
+    # field's HBM footprint if XLA wasn't already fusing the cast into the
+    # feat_imnet output.
+    hrfeat_bf16 = jax.jit(lambda v: v.astype(jnp.bfloat16))(hrfeat)
+
+    def stage_c_hr_pre(hrfeat, g1, g2):
+        a = grid_sample(hrfeat, g1, mode="bilinear")
+        b = grid_sample(hrfeat, g2, mode="bilinear")
+        return a, b
+
+    timed("stageC_hr_bf16stored", stage_c_hr_pre, hrfeat_bf16, g1, g2)
+
     lr_c = jnp.broadcast_to(
         jnp.concatenate([feat, hr_inp], axis=-1)[None],
         (nt, B, H, W, 198)).reshape(NTB, H, W, 198)
