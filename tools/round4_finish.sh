@@ -60,3 +60,10 @@ BENCH_PAIR_BATCH=2 python bench.py | tee BENCH_TRIAL_r04.json
 
 # 5. multichip dryrun (flagship train step included)
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+# 6. commit the round's evidence (the driver would sweep uncommitted work,
+#    but artifacts this important should land deliberately)
+git add EVAL_r04*.json PROFILE_r04.json GATHER_BENCH_r04.json \
+    GATHER_DECOMPOSE_r04.jsonl DECODE_DECOMPOSE_r04.jsonl \
+    BENCH_TRIAL_r04.json 2>/dev/null
+git commit -q -m "artifacts: round-4 quality + perf evidence (finish runbook)" || true
