@@ -4,26 +4,35 @@
 # keep-best point. Each stage writes its artifact and is safe to re-run.
 # Assumes the TPU is otherwise free.
 #
-# Weight selection: configs/train_synthetic_r4s_ft2.yml keep-best IF its
-# best.json dev score beats the warm start (61.2823, weights/val_curve.jsonl
-# step 3000); otherwise the in-git warm start weights/trained_best_G.pth.
+# Weight selection: $OPT's keep-best IF its best.json dev score beats the
+# warm start (61.2823, weights/val_curve.jsonl step 3000); otherwise the
+# in-git warm start weights/trained_best_G.pth.
 # tools/persist_best.sh re-exports the winner into git first.
+#
+# NOTE: network_G must match the adopted weights (rgb_skip variant), so the
+# adoption gate ALSO selects which config the evals below build from:
+# CAND (this session's training run) if its keep-best wins, else FALLBACK
+# (plain rgb_skip, matching the in-git warm-start weights).
 set -x
 cd "$(dirname "$0")/.."
-OPT=${OPT:-configs/train_synthetic_r4s_ft2.yml}
+CAND=${CAND:-configs/train_synthetic_r4s_bic8.yml}
+FALLBACK=${FALLBACK:-configs/train_synthetic_r4s_ft2.yml}
 PTH=weights/trained_best_G.pth
 
-# 0. persist the best weights INSIDE git (a VM re-provision wiped runs/
-#    including every checkpoint of rounds 2-4a; never again). persist_best
-#    refuses nothing — gate on the dev score before running it:
-BEST=runs/synthetic_r4s_ft2/models/best.json
+# 0. adoption gate + persist the best weights INSIDE git (a VM re-provision
+#    wiped runs/ including every checkpoint of rounds 2-4a; never again).
+#    persist_best refuses nothing — gate on the dev score before running it:
+BEST=$(python -c "import yaml; print(yaml.safe_load(open('$CAND'))['path']['models'])")/best.json
 if [ -f "$BEST" ] && python - "$BEST" <<'EOF'
 import json, sys
 best = json.load(open(sys.argv[1]))
 sys.exit(0 if best["score"] > 61.2823 and best["step"] > 0 else 1)
 EOF
 then
+  OPT=$CAND
   bash tools/persist_best.sh "$OPT"
+else
+  OPT=$FALLBACK
 fi
 
 # 1. quality: reference protocol + scale sweep + x16 + wide families
