@@ -158,6 +158,7 @@ def main():
                            method=lambda m, inp: m.feat_imnet(inp))
 
     timed("feat_imnet", run_feat_imnet, params, base_a, pe)
+    del base_a
 
     qb = mk((NTB, Q, 64), 9)
     qf0 = mk((NTB, Q, 192), 10)
@@ -168,6 +169,7 @@ def main():
                            method=lambda m, inp: m.flow_imnet(inp))
 
     timed("flow_imnet", run_flow_imnet, params, qb, qf0, qi, pe)
+    del qb, qf0, qi
 
     def warp_fn(flow):
         ga = jnp.clip(warp_grid(flow[..., :2]), -1 + 1e-6, 1 - 1e-6)
@@ -194,6 +196,30 @@ def main():
         return a, b
 
     timed("stageC_hr_bf16stored", stage_c_hr_pre, hrfeat_bf16, g1, g2)
+    del hrfeat_bf16
+
+    # A/B: ONE gather call over the concatenated (g1, g2) index set — the
+    # flat patch-row layout (4C rows) of the big HR field materializes once
+    # instead of once per gather call.
+    g12 = jnp.concatenate([g1, g2], axis=1)
+
+    def stage_c_hr_fusedidx(hrfeat, g12):
+        ab = grid_sample(hrfeat, g12, mode="bilinear", source_dtype=gd)
+        return ab[:, :Q], ab[:, Q:]
+
+    timed("stageC_hr_fusedidx", stage_c_hr_fusedidx, hrfeat, g12)
+
+    # A/B: direct (1,2,2,C) slice-gather — no 4C-row materialization at all;
+    # the flat layout's win was measured on SMALL sources (L1 DCN), where
+    # the one-time materialization amortizes over many gathers. Here the
+    # source is 16x bigger and gathered only twice.
+    from stif_tpu.ops.gather_utils import set_gather_layout
+
+    set_gather_layout("direct")
+    timed("stageC_hr_direct", stage_c_hr, hrfeat, g1, g2)
+    timed("stageC_hr_direct_fusedidx", stage_c_hr_fusedidx, hrfeat, g12)
+    set_gather_layout("flat")
+    del g12
 
     lr_c = jnp.broadcast_to(
         jnp.concatenate([feat, hr_inp], axis=-1)[None],
@@ -256,10 +282,7 @@ def main():
 
     timed("encode_imnet_splitK", run_encode_split, q1, q2, q3, q4,
           i1, i2, pe)
-
-    def full(p, x, t):
-        f = model.apply(p, x, method=model.gen_feat)
-        return model.apply(p, f, x, t, method=model.decode)
+    del q1, q2, q3, q4, i1, i2, hrfeat, flow, g1, g2
 
     feat_t = jax.jit(lambda p, x: model.apply(p, x, method=model.gen_feat)
                      )(params, xin)
