@@ -58,21 +58,17 @@ python tools/aggregate_eval.py --plain EVAL_r04_plain.json \
     --bf16 EVAL_r04_bf16.json --le EVAL_r04_le.json \
     --le-se EVAL_r04_le_se.json --out EVAL_r04.json
 
-# 3. perf: profile (flat-gather encode attribution) + microbench refresh
-python tools/profile_bench.py --out PROFILE_r04.json --trace-dir runs/profile/r4
+# 3. perf microbench refresh. (PROFILE_r04.json, DECODE_DECOMPOSE_r04.jsonl
+#    and BENCH_TRIAL_r04.json were all landed uncontended earlier in the
+#    round — commits 7d8c046, d676789 — so those stages are dropped here.)
 python tools/gather_decompose.py > GATHER_DECOMPOSE_r04.jsonl
 python tools/gather_bench.py > GATHER_BENCH_r04.json
-python tools/decode_decompose.py > DECODE_DECOMPOSE_r04.jsonl
-
-# 4. headline bench: B=1 + the B=2 batched trial (VERDICT item 5)
-BENCH_PAIR_BATCH=2 python bench.py | tee BENCH_TRIAL_r04.json
 
 # 5. multichip dryrun (flagship train step included)
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
 # 6. commit the round's evidence (the driver would sweep uncommitted work,
 #    but artifacts this important should land deliberately)
-git add EVAL_r04*.json PROFILE_r04.json GATHER_BENCH_r04.json \
-    GATHER_DECOMPOSE_r04.jsonl DECODE_DECOMPOSE_r04.jsonl \
-    BENCH_TRIAL_r04.json 2>/dev/null
+git add EVAL_r04*.json GATHER_BENCH_r04.json \
+    GATHER_DECOMPOSE_r04.jsonl 2>/dev/null
 git commit -q -m "artifacts: round-4 quality + perf evidence (finish runbook)" || true
