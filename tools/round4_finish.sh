@@ -15,7 +15,9 @@
 # (plain rgb_skip, matching the in-git warm-start weights).
 set -x
 cd "$(dirname "$0")/.."
-CAND=${CAND:-configs/train_synthetic_r4s_bic8.yml}
+# (bic8's batch-8 GT-192 train step RESOURCE_EXHAUSTEDs the single v5e —
+# session 4 fell back to the proven batch-4 adaptation recipe)
+CAND=${CAND:-configs/train_synthetic_r4s_bic.yml}
 FALLBACK=${FALLBACK:-configs/train_synthetic_r4s_ft2.yml}
 PTH=weights/trained_best_G.pth
 
