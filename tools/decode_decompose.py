@@ -233,6 +233,41 @@ def main():
 
     timed("stageC_lr", stage_c_lr, lr_c, g1, g2)
 
+    # A/B: the stage-C LR source is TIME-INDEPENDENT — the model tiles one
+    # (B, H, W, 198) map to nt*B batch rows, so the flat 4C-row layout
+    # materializes nt*B times for identical bytes. Fold nt into the QUERY
+    # axis instead: gather once from the (B,...) source. For B == 1 the
+    # output reshape (1, nt*Q, C) -> (nt, Q, C) is free, so this is
+    # bit-identical to the tiled gather.
+    # (A first attempt gathered g1 AND g2 in one jit: the two 2B*(nt*B*Q,
+    # 4C) gather intermediates coexist and RESOURCE_EXHAUST the 16 GB chip
+    # — the per-call form below keeps one in flight, like the model does.)
+    lr_c1 = lr_c[:1]
+    g1f = g1.reshape(1, NTB * Q, 2)
+
+    def stage_c_lr_g1(lr_c, g1):
+        return grid_sample(lr_c, g1, mode="bilinear", source_dtype=gd)
+
+    def stage_c_lr_dedup_g1(lr_c1, g1f):
+        return grid_sample(lr_c1, g1f, mode="bilinear",
+                           source_dtype=gd).reshape(NTB, Q, -1)
+
+    timed("stageC_lr_g1_baseline", stage_c_lr_g1, lr_c, g1)
+    timed("stageC_lr_g1_dedup", stage_c_lr_dedup_g1, lr_c1, g1f)
+
+    def dedup_delta(lr_c, lr_c1, g1, g1f):
+        a0 = grid_sample(lr_c[:, :, :, :8], g1, mode="bilinear",
+                         source_dtype=gd)
+        a1 = grid_sample(lr_c1[:, :, :, :8], g1f, mode="bilinear",
+                         source_dtype=gd).reshape(NTB, Q, -1)
+        return jnp.max(jnp.abs(a0 - a1))
+
+    print(json.dumps({
+        "case": "stageC_lr_dedup_maxdelta",
+        "max_delta": float(jax.jit(dedup_delta)(lr_c, lr_c1, g1, g1f))}),
+        flush=True)
+    del lr_c1, g1f
+
     q1 = mk((NTB, Q, 64), 12)
     q2 = mk((NTB, Q, 64), 13)
     q3 = mk((NTB, Q, 192), 14)
