@@ -35,6 +35,8 @@ def define_g(opt: dict):
             # pre-upsample (see LunaTokis.rgb_skip_bicubic)
             if str(net.get("rgb_skip")).lower() == "bicubic":
                 kwargs["rgb_skip_bicubic"] = True
+        if net.get("encode_splitk"):
+            kwargs["encode_splitk"] = True
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)

@@ -102,6 +102,11 @@ class LunaTokis(nn.Module):
     # where the full-frame pre-upsample resolution would not match the
     # query density.
     rgb_skip_bicubic: bool = False
+    # split-K first layer of the 525-wide encode_imnet (Siren.split_first):
+    # ~18% faster on that stage (DECODE_DECOMPOSE_r04.jsonl), same math to
+    # fp32-accumulation reordering (4.5e-8). Default off pending a
+    # trained-quality gate, per the bf16 precedent.
+    encode_splitk: bool = False
 
     def setup(self):
         nf = self.nf
@@ -132,7 +137,8 @@ class LunaTokis(nn.Module):
                                 use_pallas=up, compute_dtype=md)
         self.encode_imnet = Siren([64, 64, 256, 256], 3, 3,
                                   outermost_linear=True, use_pallas=up,
-                                  compute_dtype=md)
+                                  compute_dtype=md,
+                                  split_first=self.encode_splitk)
 
     # ---------------------------------------------------------------- encoder
 

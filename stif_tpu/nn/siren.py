@@ -72,6 +72,12 @@ class Siren(nn.Module):
     # layer inputs/weights are narrowed. Output is cast back to the caller's
     # dtype. Quality-gate on a trained checkpoint before enabling.
     compute_dtype: object = None
+    # split-K first layer for tuple inputs: y0 = sum_i x_i @ W[k_i] + b — the
+    # wide (Q, sum_i c_i) concat never materializes in HBM. Same math to
+    # fp32-accumulation reordering (measured 4.5e-8 on the 525-wide
+    # encode_imnet, ~18% faster there: DECODE_DECOMPOSE_r04.jsonl). Default
+    # off: flip only behind a trained-quality gate, like compute_dtype.
+    split_first: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -108,6 +114,26 @@ class Siren(nn.Module):
             assert self.first_omega0 == self.hidden_omega0
             return siren_apply_fused(x, list(ws), list(bs),
                                      omega0=self.hidden_omega0)
+
+        if is_multi and self.split_first:
+            out_dtype = x[0].dtype
+            parts = [v.astype(self.compute_dtype)
+                     if self.compute_dtype is not None else v for v in x]
+            l0 = layers[0]
+            kernel, bias = l0.weights()
+            y = None
+            off = 0
+            for v in parts:
+                c = v.shape[-1]
+                t = jnp.dot(v, kernel[off:off + c].astype(v.dtype),
+                            preferred_element_type=jnp.float32)
+                y = t if y is None else y + t
+                off += c
+            y = y + bias
+            h = jnp.sin(l0.omega0 * y).astype(parts[0].dtype)
+            for layer in layers[1:]:
+                h = layer(h)
+            return h.astype(out_dtype)
 
         if is_multi:
             x = jnp.concatenate(list(x), axis=-1)

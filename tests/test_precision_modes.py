@@ -46,3 +46,15 @@ def test_gather_dtype_bf16_close(tiny_setup):
                         gather_dtype=jnp.bfloat16)
     got = model16.apply(params, x, times)
     assert float(jnp.max(jnp.abs(got - want))) < 2e-2
+
+
+def test_encode_splitk_equal(tiny_setup):
+    """encode_splitk is the same math modulo fp32-sum reordering: the
+    525-wide encode_imnet concat never materializes (split-K first layer);
+    measured 4.5e-8 at bench shapes (DECODE_DECOMPOSE_r04.jsonl)."""
+    model, params, x, times = tiny_setup
+    want = model.apply(params, x, times)
+    model_sk = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                         encode_splitk=True)
+    got = model_sk.apply(params, x, times)  # same params: apply-time split
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-5

@@ -53,3 +53,40 @@ def test_multi_input_fields(rng):
     # the flax module also accepts the tuple directly (non-pallas path)
     got2 = np.asarray(model.apply(params, tuple(parts)))
     np.testing.assert_allclose(got2, want, atol=1e-6)
+
+
+def test_split_first_equals_concat(rng):
+    """split_first: per-part first-layer matmuls must equal the concat
+    form to fp32-accumulation reordering (the opt-in serving lever)."""
+    parts = [
+        jnp.asarray(rng.standard_normal((64, c)).astype(np.float32))
+        for c in (64, 192, 6, 1)
+    ]
+    base = Siren([64, 64, 256], 2, 4, outermost_linear=True)
+    params = base.init(jax.random.PRNGKey(0), jnp.concatenate(parts, -1))
+    want = np.asarray(base.apply(params, tuple(parts)))
+    split = Siren([64, 64, 256], 2, 4, outermost_linear=True,
+                  split_first=True)
+    got = np.asarray(split.apply(params, tuple(parts)))  # same params
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # non-tuple input ignores the flag (concat path)
+    x = jnp.concatenate(parts, axis=-1)
+    np.testing.assert_allclose(np.asarray(split.apply(params, x)),
+                               np.asarray(base.apply(params, x)), atol=0)
+
+
+def test_split_first_bf16_compute(rng):
+    """split_first composes with compute_dtype: bf16 parts, fp32 accum."""
+    parts = [
+        jnp.asarray(rng.standard_normal((32, c)).astype(np.float32))
+        for c in (16, 8)
+    ]
+    base = Siren([32, 32], 1, 3, outermost_linear=True,
+                 compute_dtype=jnp.bfloat16)
+    params = base.init(jax.random.PRNGKey(2), jnp.concatenate(parts, -1))
+    want = np.asarray(base.apply(params, tuple(parts)))
+    split = Siren([32, 32], 1, 3, outermost_linear=True,
+                  compute_dtype=jnp.bfloat16, split_first=True)
+    got = np.asarray(split.apply(params, tuple(parts)))
+    assert got.dtype == want.dtype
+    np.testing.assert_allclose(got, want, atol=2e-2)
