@@ -63,6 +63,10 @@ def _build():
     # (encoder 1.03 s -> 0.96 s). BENCH_GATHER_DTYPE=fp32 restores bit-parity.
     gd = os.environ.get("BENCH_GATHER_DTYPE", "bf16")
     md = os.environ.get("BENCH_MLP_DTYPE", "bf16")
+    # split-K encode_imnet default on: gated on the trained round-4 weights
+    # (EVAL_r04_splitk vs EVAL_r04_plain — deltas <=0.001 dB) and 5.6e-8
+    # end-to-end equality; BENCH_ENCODE_SPLITK=0 restores the concat form.
+    sk = os.environ.get("BENCH_ENCODE_SPLITK", "1") not in ("0", "false")
     impl = os.environ.get("BENCH_DCN_IMPL")    # "dense" after offset check
     if impl:
         from stif_tpu.ops.deform_conv import set_dcn_impl
@@ -71,7 +75,8 @@ def _build():
         set_dcn_impl(impl, int(bound) if bound else None)
     model = LunaTokis(
         gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None,
-        mlp_dtype=jnp.bfloat16 if md in ("bf16", "bfloat16") else None)
+        mlp_dtype=jnp.bfloat16 if md in ("bf16", "bfloat16") else None,
+        encode_splitk=sk)
     rng = np.random.default_rng(0)
     xn = rng.random((1, 2, LR_H, LR_W, 3)).astype(np.float32)
     tn = np.asarray([i / N_TIMES for i in range(N_TIMES)], np.float32)
@@ -290,8 +295,11 @@ def main():
         # precision/impl provenance so the headline number is traceable to
         # its mode from the artifact alone (ADVICE r2). NOTE: bf16 gather
         # sources became the default in r2, bf16 decoder MLP and full
-        # (non-chunked) batched decode in r3 — earlier rounds' headline fps
-        # (r1, r2-fp32 rows) are not apples-to-apples with these defaults.
+        # (non-chunked) batched decode in r3, split-K encode_imnet in r4 —
+        # earlier rounds' headline fps are not apples-to-apples with these
+        # defaults.
+        "encode_splitk": os.environ.get("BENCH_ENCODE_SPLITK", "1")
+        not in ("0", "false"),
         "gather_dtype": os.environ.get("BENCH_GATHER_DTYPE", "bf16"),
         "mlp_dtype": os.environ.get("BENCH_MLP_DTYPE", "bf16"),
         # the impl actually dispatched (env may ask for one that degrades,
