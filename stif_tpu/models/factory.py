@@ -37,6 +37,8 @@ def define_g(opt: dict):
                 kwargs["rgb_skip_bicubic"] = True
         if net.get("encode_splitk"):
             kwargs["encode_splitk"] = True
+        if net.get("stagec_dedup"):
+            kwargs["stagec_dedup"] = True
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)

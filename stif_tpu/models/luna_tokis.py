@@ -107,6 +107,13 @@ class LunaTokis(nn.Module):
     # fp32-accumulation reordering (4.5e-8). Default off pending a
     # trained-quality gate, per the bf16 precedent.
     encode_splitk: bool = False
+    # gather the time-independent stage-C LR source once, nt folded into the
+    # query axis (full-decode fused path only). Bit-identical; ~6% per grid
+    # (DECODE_DECOMPOSE_r04.jsonl). Default off: at bench scale the dedup
+    # gather's (nt*B*Q, 4C) intermediate showed RESOURCE_EXHAUSTED risk when
+    # scheduled concurrently with a second one — flip after an at-scale
+    # memory check per deployment.
+    stagec_dedup: bool = False
 
     def setup(self):
         nf = self.nf
@@ -267,9 +274,28 @@ class LunaTokis(nn.Module):
         g2 = g2.reshape(nt * B, Q, 2)
         # stage-C sources at equal resolution fuse into one gather per grid
         if hr_inp.shape[1] == feat.shape[1] and hr_inp.shape[2] == feat.shape[2]:
-            lr_c = tile_t(jnp.concatenate([feat, hr_inp], axis=-1))
-            c1 = gs_b(lr_c, g1)
-            c2 = gs_b(lr_c, g2)
+            lr_cat = jnp.concatenate([feat, hr_inp], axis=-1)
+            if self.stagec_dedup:
+                # the stage-C LR source is TIME-INDEPENDENT: fold nt into
+                # the query axis and gather once from the (B, ...) map
+                # instead of tiling it to nt*B batch rows. Bit-identical
+                # (same per-query arithmetic; DECODE_DECOMPOSE_r04
+                # max|Δ|=0.0), ~6% faster per grid; for B == 1 the
+                # fold/unfold transposes are degenerate reshapes.
+                def fold_q(g):   # (nt*B, Q, 2) -> (B, nt*Q, 2)
+                    return (g.reshape(nt, B, Q, 2).transpose(1, 0, 2, 3)
+                            .reshape(B, nt * Q, 2))
+
+                def unfold_q(c):  # (B, nt*Q, C) -> (nt*B, Q, C)
+                    return (c.reshape(B, nt, Q, -1).transpose(1, 0, 2, 3)
+                            .reshape(nt * B, Q, -1))
+
+                c1 = unfold_q(gs_b(lr_cat, fold_q(g1)))
+                c2 = unfold_q(gs_b(lr_cat, fold_q(g2)))
+            else:
+                lr_c = tile_t(lr_cat)
+                c1 = gs_b(lr_c, g1)
+                c2 = gs_b(lr_c, g2)
             nfc2 = feat.shape[-1]
             q_feat3, q_img1 = c1[..., :nfc2], c1[..., nfc2:]
             q_feat4, q_img2 = c2[..., :nfc2], c2[..., nfc2:]

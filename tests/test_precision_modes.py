@@ -58,3 +58,27 @@ def test_encode_splitk_equal(tiny_setup):
                          encode_splitk=True)
     got = model_sk.apply(params, x, times)  # same params: apply-time split
     assert float(jnp.max(jnp.abs(got - want))) < 1e-5
+
+
+def test_stagec_dedup_bitexact(tiny_setup):
+    """stagec_dedup gathers the time-independent stage-C source once with
+    nt folded into the query axis — same per-query arithmetic, so the
+    outputs must be bit-identical (B=1 path)."""
+    model, params, x, times = tiny_setup
+    want = model.apply(params, x, times)
+    model_dd = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                         stagec_dedup=True)
+    got = model_dd.apply(params, x, times)
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+
+def test_stagec_dedup_batched(tiny_setup):
+    """B=2: the fold/unfold transposes must route each (time, batch) pair
+    to the same queries as the tiled form."""
+    model, params, x, times = tiny_setup
+    x2 = jnp.concatenate([x, x[:, :, ::-1]], axis=0)
+    want = model.apply(params, x2, times)
+    model_dd = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                         stagec_dedup=True)
+    got = model_dd.apply(params, x2, times)
+    assert float(jnp.max(jnp.abs(got - want))) == 0.0
