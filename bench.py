@@ -280,9 +280,13 @@ def main():
         mfu = flops / (N_TIMES / fps1) / V5E_PEAK_BF16_FLOPS
 
     from stif_tpu.ops import deform_conv as _dc
+    from stif_tpu.utils.provenance import stamp
 
     rec = {
         "metric": "frames_per_sec",
+        # weights: none — the throughput workload runs on seeded random
+        # params (quality artifacts carry their own weights stamp)
+        "provenance": stamp(config=f"bench.py LR {LR_H}x{LR_W} nt={N_TIMES}"),
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,

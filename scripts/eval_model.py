@@ -235,12 +235,14 @@ def main():
 
         params = load_pth_checkpoint(args.pth, params)
         ckpt_step = args.step or -1
+        weights_src = args.pth
         print(f"loaded weights from {args.pth}")
     elif args.best:
         from stif_tpu.train.validation import load_best_params
 
         params, best = load_best_params(ckpt_dir, params)
         ckpt_step = int(best["step"])
+        weights_src = os.path.join(ckpt_dir, f"params_best_{ckpt_step}")
         print(f"loaded keep-best step {ckpt_step} "
               f"(dev score {best['score']}) from {ckpt_dir}")
     else:
@@ -252,6 +254,7 @@ def main():
         state = mgr.restore(state, step)
         params = state.params
         ckpt_step = int(state.step)
+        weights_src = ckpt_dir
         print(f"restored step {ckpt_step} from {ckpt_dir}")
 
     gt_root = build_eval_set(args.eval_root, n_scenes=args.scenes)
@@ -344,8 +347,12 @@ def main():
                 "baseline_bicubic": {k: round(v, 3) for k, v in bi.items()},
             }
 
+    from stif_tpu.utils.provenance import stamp
+
     rec = {
         "protocol": "vid4_space_time_x4 (myutils.test_metric_full)",
+        "provenance": stamp(weights=weights_src, step=ckpt_step,
+                            config=args.opt),
         "checkpoint_step": ckpt_step,
         "gather_dtype": args.gather_dtype or "fp32",
         "mlp_dtype": args.mlp_dtype or "fp32",

@@ -39,6 +39,8 @@ def define_g(opt: dict):
             kwargs["encode_splitk"] = True
         if net.get("stagec_dedup"):
             kwargs["stagec_dedup"] = True
+        if net.get("lstm_fuse_dirs") is not None:
+            kwargs["lstm_fuse_dirs"] = bool(net.get("lstm_fuse_dirs"))
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)

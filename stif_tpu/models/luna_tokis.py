@@ -79,6 +79,11 @@ class LunaTokis(nn.Module):
     gather_dtype: object = None  # e.g. jnp.bfloat16: 1.5x faster DCN gathers
     mlp_dtype: object = None     # e.g. jnp.bfloat16: half-width decoder MLP
     lstm_unroll: bool = False    # python-loop LSTM (instrumentation only)
+    # evaluate the BiLSTM's two shared-weight directions as ONE scan at
+    # batch 2B (exact per-sample math; half the sequential dispatches —
+    # the encoder is 95% PCD and 12 of its 13 aligns are LSTM steps).
+    # network_G.lstm_fuse_dirs: false restores the two-pass form.
+    lstm_fuse_dirs: bool = True
     # Residual decode head (training-recipe option, default off = reference
     # semantics): stage D predicts a residual over the time-blended warped
     # input samples already gathered for encode_imnet,
@@ -128,7 +133,8 @@ class LunaTokis(nn.Module):
         self.fusion = Conv(nf, 1, 1, 0)
         self.ConvBLSTM = BiDeformableConvLSTM(nf, self.groups,
                                               self.gather_dtype,
-                                              self.lstm_unroll)
+                                              self.lstm_unroll,
+                                              fuse_dirs=self.lstm_fuse_dirs)
         self.recon_trunk = ResidualTrunk(nf, self.back_RBs)
         # legacy ZSM x4 pixel-shuffle head (checkpoint schema parity)
         self.upconv1 = Conv(nf * 4, 3, 1, 1)

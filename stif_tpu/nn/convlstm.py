@@ -105,19 +105,37 @@ class DeformableConvLSTM(nn.Module):
 
 class BiDeformableConvLSTM(nn.Module):
     """Forward + reversed pass through the *same* network, channel-concat,
-    1x1 merge (reference ``BiDeformableConvLSTM.forward``)."""
+    1x1 merge (reference ``BiDeformableConvLSTM.forward``).
+
+    TPU-first: because the two directions share every parameter
+    (``Sakuya_arch_test.py:256-260`` reuses ``forward_net``), they are by
+    default evaluated as ONE scan at batch 2B — [x ; reverse(x)] stacked on
+    the batch axis — instead of two sequential B-sized scans. Per-sample
+    math is identical (every op in the step is batch-parallel); the
+    sequential dependency chain is half as long and each conv/gather runs
+    at twice the size, which is the efficient direction for a
+    dispatch/gather-bound encoder. ``fuse_dirs=False`` restores the
+    two-pass form (2x smaller peak state for memory-tight training).
+    """
 
     nf: int = 64
     groups: int = 8
     gather_dtype: object = None
     unroll: bool = False
+    fuse_dirs: bool = True
 
     @nn.compact
     def __call__(self, x):
         net = DeformableConvLSTM(self.nf, self.groups, self.gather_dtype,
                                  self.unroll, name="forward_net")
-        out_fwd = net(x)
-        out_rev = net(x[:, ::-1])[:, ::-1]
+        if self.fuse_dirs and not self.unroll:
+            B = x.shape[0]
+            both = net(jnp.concatenate([x, x[:, ::-1]], axis=0))
+            out_fwd = both[:B]
+            out_rev = both[B:, ::-1]
+        else:
+            out_fwd = net(x)
+            out_rev = net(x[:, ::-1])[:, ::-1]
         B, T, H, W, C = out_fwd.shape
         merged = jnp.concatenate([out_fwd, out_rev], axis=-1)
         merged = merged.reshape(B * T, H, W, 2 * C)

@@ -106,8 +106,16 @@ class Siren(nn.Module):
         # compute_dtype wins over use_pallas: the fused kernel is fp32-only,
         # and silently ignoring the narrower mode would corrupt bf16-vs-
         # pallas A/B provenance (both knobs are plumbed from LunaTokis).
+        # use_pallas vs split_first is NOT a silent precedence: the fused
+        # kernel ignores split_first, so asking for both is a config error
+        # (ADVICE r4 — bench provenance would otherwise record split-K as
+        # active on a path that never splits).
         if (self.use_pallas and self.outermost_linear
                 and self.compute_dtype is None):
+            assert not self.split_first, (
+                "Siren: use_pallas and split_first are mutually exclusive — "
+                "the fused Pallas kernel has no split-K form; disable one"
+            )
             from stif_tpu.ops.siren_pallas import siren_apply_fused
 
             ws, bs = zip(*[layer.weights() for layer in layers])

@@ -58,12 +58,21 @@ class Validator:
         from stif_tpu.runtime import InferencePipeline
         from stif_tpu.runtime.eval import eval_space_time_sr
 
+        # Heartbeat through the 'base' logger (train.log): the supervisor
+        # watches the log's mtime for stall detection, and a cold step-0
+        # validation is many minutes of silent TPU compiles — it got the
+        # round-5 trainer SIGKILLed mid-compile without these lines.
+        import logging
+
+        log = logging.getLogger("base")
         if self._pipe is None:
+            log.info("val: compiling x4 pipeline (cold: minutes)")
             self._pipe = InferencePipeline(self.net, params, scale=4,
                                            bucket=8, device=self.device)
         else:
             self._pipe.params = jax.device_put(params, self._pipe.device)
         res = eval_space_time_sr(self._pipe, self.root, times=(0.5, 0.0))
+        log.info("val: x4 protocol done")
         t0 = float(res.psnr_by_time[0.0])
         t05 = float(res.psnr_by_time[0.5])
         out = {
@@ -108,6 +117,10 @@ class Validator:
             self._probe_data[s] = (lr, gt, float(ypsnr(up[0], gt[0])), ypsnr)
         lr, gt, bi, ypsnr = self._probe_data[s]
         if s not in self._probe_pipes:
+            import logging
+
+            logging.getLogger("base").info(
+                "val: compiling x%d probe pipeline (cold: minutes)", s)
             self._probe_pipes[s] = InferencePipeline(
                 self.net, params, scale=s, bucket=4, device=self.device)
         else:

@@ -82,3 +82,14 @@ def test_stagec_dedup_batched(tiny_setup):
                          stagec_dedup=True)
     got = model_dd.apply(params, x2, times)
     assert float(jnp.max(jnp.abs(got - want))) == 0.0
+
+
+def test_lstm_fuse_dirs_equal(tiny_setup):
+    # fused (one 2B scan over the shared-weight BiLSTM) vs the two-pass
+    # reference form: per-sample math is identical — exact to fp32 noise
+    model, params, x, times = tiny_setup
+    want = model.apply(params, x, times)  # default: lstm_fuse_dirs=True
+    two_pass = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                         lstm_fuse_dirs=False)
+    got = two_pass.apply(params, x, times)  # same params, same schema
+    assert float(jnp.max(jnp.abs(got - want))) < 1e-6

@@ -30,6 +30,14 @@ def _load(path):
             return json.load(f)
     except OSError:
         return None
+    except json.JSONDecodeError as e:
+        # a truncated/corrupt OPTIONAL eval json (interrupted run) must be
+        # skipped like a missing file, not crash the merge (ADVICE r4)
+        import sys
+
+        print(f"[aggregate_eval] WARNING: skipping unparseable {path}: {e}",
+              file=sys.stderr)
+        return None
 
 
 def _times(rec):
@@ -80,6 +88,10 @@ def main():
                                    kv[1]["t0_psnr_y"] + kv[1]["t05_psnr_y"]))
     agg["headline"] = {
         "mode": headline[0],
+        # the headline names the best-SUM mode even when nothing clears the
+        # bars; make that unmistakable in the artifact itself (ADVICE r4)
+        "clears_mandate": bool(headline[1]["clears_t0_vs_bicubic"]
+                               and headline[1]["clears_t05"]),
         **{k: headline[1][k] for k in ("t0_psnr_y", "t05_psnr_y")},
     }
     agg["mandate"] = {
