@@ -318,19 +318,29 @@ def main():
     if args.wide:
         from stif_tpu.data.synthetic import render_eval_suite
 
-        from stif_tpu.data.natural import build_natural_eval_set
+        from stif_tpu.data.natural import (build_natural_eval_set,
+                                           build_natural_eval_set_v2)
 
         suite_root = render_eval_suite("runs/eval_suite")
-        # natural-photo panning sequences (real image statistics; gated on
-        # bundled photos being present) join the suite as a 4th family
+        # natural-photo families (real image statistics; gated on bundled
+        # photos being present): v1 = integer-pan (kept for round-4
+        # continuity), v2 = layered subpixel motion + occluding layers,
+        # >=8 scenes so the per-family std is usable for gating
+        # (VERDICT r4 #5)
         nat_names = build_natural_eval_set(suite_root)
+        nat2_names = build_natural_eval_set_v2(suite_root)
         fams = ("default", "occlusion", "lighting") + (
             ("natural",) if nat_names else ())
+        if nat2_names:
+            fams = fams + ("naturalv2",)
         wide = {}
         for fam in fams:
-            folders = sorted(d for d in os.listdir(suite_root)
-                             if d.startswith(fam)
-                             and os.path.isdir(os.path.join(suite_root, d)))
+            # prefix match, but 'natural' must not swallow 'naturalv2_*'
+            folders = sorted(
+                d for d in os.listdir(suite_root)
+                if d.startswith(fam)
+                and not (fam == "natural" and d.startswith("naturalv2"))
+                and os.path.isdir(os.path.join(suite_root, d)))
             r = eval_space_time_sr(pipe, suite_root, folders=folders,
                                    times=(0.5, 0.0))
             bi = bicubic_baseline(suite_root, folders=folders)

@@ -41,6 +41,8 @@ def define_g(opt: dict):
             kwargs["stagec_dedup"] = True
         if net.get("lstm_fuse_dirs") is not None:
             kwargs["lstm_fuse_dirs"] = bool(net.get("lstm_fuse_dirs"))
+        if net.get("stagec_nearest"):
+            kwargs["stagec_nearest"] = True
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)

@@ -116,9 +116,19 @@ class LunaTokis(nn.Module):
     # query axis (full-decode fused path only). Bit-identical; ~6% per grid
     # (DECODE_DECOMPOSE_r04.jsonl). Default off: at bench scale the dedup
     # gather's (nt*B*Q, 4C) intermediate showed RESOURCE_EXHAUSTED risk when
-    # scheduled concurrently with a second one — flip after an at-scale
-    # memory check per deployment.
+    # scheduled concurrently with a second one — the decode pass now places
+    # an optimization barrier between the two grid gathers (serializing
+    # them bounds peak memory at one intermediate), measured safe at bench
+    # scale before flipping any default.
     stagec_dedup: bool = False
+    # stage-C byte-reduction lever (VERDICT r4 #4): sample the wide LR
+    # feature component (the 3*nf-ch ``feat`` that feeds encode_imnet's
+    # q_feat3/q_feat4) with a NEAREST gather (1 index/query) instead of a
+    # bilinear 2x2 patch — ~3.7x fewer gathered bytes on the dominant
+    # stage-C cost; the 6-ch warped input samples stay bilinear (they carry
+    # the rgb_skip/appearance signal). An approximation, not the reference
+    # bilinear warp (Sakuya_arch_test.py:424-453) — quality-gated opt-in.
+    stagec_nearest: bool = False
 
     def setup(self):
         nf = self.nf
@@ -280,33 +290,53 @@ class LunaTokis(nn.Module):
         g2 = g2.reshape(nt * B, Q, 2)
         # stage-C sources at equal resolution fuse into one gather per grid
         if hr_inp.shape[1] == feat.shape[1] and hr_inp.shape[2] == feat.shape[2]:
-            lr_cat = jnp.concatenate([feat, hr_inp], axis=-1)
-            if self.stagec_dedup:
-                # the stage-C LR source is TIME-INDEPENDENT: fold nt into
-                # the query axis and gather once from the (B, ...) map
-                # instead of tiling it to nt*B batch rows. Bit-identical
-                # (same per-query arithmetic; DECODE_DECOMPOSE_r04
-                # max|Δ|=0.0), ~6% faster per grid; for B == 1 the
-                # fold/unfold transposes are degenerate reshapes.
-                def fold_q(g):   # (nt*B, Q, 2) -> (B, nt*Q, 2)
-                    return (g.reshape(nt, B, Q, 2).transpose(1, 0, 2, 3)
-                            .reshape(B, nt * Q, 2))
-
-                def unfold_q(c):  # (B, nt*Q, C) -> (nt*B, Q, C)
-                    return (c.reshape(B, nt, Q, -1).transpose(1, 0, 2, 3)
-                            .reshape(nt * B, Q, -1))
-
-                c1 = unfold_q(gs_b(lr_cat, fold_q(g1)))
-                c2 = unfold_q(gs_b(lr_cat, fold_q(g2)))
+            if self.stagec_nearest:
+                # wide feat component: nearest (1 idx/query); 6-ch inputs:
+                # bilinear. Serialize the two wide gathers with a barrier so
+                # their (rows, C) intermediates never coexist.
+                feat_t = tile_t(feat)
+                hr_t = tile_t(hr_inp)
+                q_feat3 = grid_sample(feat_t, g1, mode="nearest",
+                                      source_dtype=self.gather_dtype)
+                g2_b = jax.lax.optimization_barrier((g2, q_feat3))[0]
+                q_feat4 = grid_sample(feat_t, g2_b, mode="nearest",
+                                      source_dtype=self.gather_dtype)
+                q_img1 = gs_b(hr_t, g1)
+                q_img2 = gs_b(hr_t, g2)
+                q_feat1 = gs_b(hrfeat, g1)
+                q_feat2 = gs_b(hrfeat, g2)
             else:
-                lr_c = tile_t(lr_cat)
-                c1 = gs_b(lr_c, g1)
-                c2 = gs_b(lr_c, g2)
-            nfc2 = feat.shape[-1]
-            q_feat3, q_img1 = c1[..., :nfc2], c1[..., nfc2:]
-            q_feat4, q_img2 = c2[..., :nfc2], c2[..., nfc2:]
-            q_feat1 = gs_b(hrfeat, g1)
-            q_feat2 = gs_b(hrfeat, g2)
+                lr_cat = jnp.concatenate([feat, hr_inp], axis=-1)
+                if self.stagec_dedup:
+                    # the stage-C LR source is TIME-INDEPENDENT: fold nt
+                    # into the query axis and gather once from the (B, ...)
+                    # map instead of tiling it to nt*B batch rows.
+                    # Bit-identical (same per-query arithmetic;
+                    # DECODE_DECOMPOSE_r04 max|Δ|=0.0), ~6% faster per
+                    # grid; for B == 1 the fold/unfold transposes are
+                    # degenerate reshapes. The barrier serializes the two
+                    # big gathers so their (nt*B*Q, 4C) intermediates never
+                    # coexist (the r4 RESOURCE_EXHAUSTED mode).
+                    def fold_q(g):   # (nt*B, Q, 2) -> (B, nt*Q, 2)
+                        return (g.reshape(nt, B, Q, 2).transpose(1, 0, 2, 3)
+                                .reshape(B, nt * Q, 2))
+
+                    def unfold_q(c):  # (B, nt*Q, C) -> (nt*B, Q, C)
+                        return (c.reshape(B, nt, Q, -1).transpose(1, 0, 2, 3)
+                                .reshape(nt * B, Q, -1))
+
+                    c1 = unfold_q(gs_b(lr_cat, fold_q(g1)))
+                    g2_b = jax.lax.optimization_barrier((g2, c1))[0]
+                    c2 = unfold_q(gs_b(lr_cat, fold_q(g2_b)))
+                else:
+                    lr_c = tile_t(lr_cat)
+                    c1 = gs_b(lr_c, g1)
+                    c2 = gs_b(lr_c, g2)
+                nfc2 = feat.shape[-1]
+                q_feat3, q_img1 = c1[..., :nfc2], c1[..., nfc2:]
+                q_feat4, q_img2 = c2[..., :nfc2], c2[..., nfc2:]
+                q_feat1 = gs_b(hrfeat, g1)
+                q_feat2 = gs_b(hrfeat, g2)
         else:
             feat_t_tiled = tile_t(feat)
             hr_inp_tiled = tile_t(hr_inp)
