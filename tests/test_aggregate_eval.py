@@ -73,3 +73,23 @@ def test_aggregate_missing_optional(tmp_path):
     assert agg["headline"]["mode"] == "plain"
     assert agg["mandate"]["cleared_by"] == ["plain"]
     assert "bf16_gate" not in agg
+
+
+def test_headline_clears_mandate_flag(tmp_path):
+    # nothing clears both bars: headline still names the best-sum mode but
+    # must say so via clears_mandate=False (ADVICE r4); corrupt optional
+    # inputs are skipped, not fatal
+    p = tmp_path / "plain.json"
+    p.write_text(json.dumps(_rec(35.0, 29.0)))
+    bad = tmp_path / "bf16.json"
+    bad.write_text("{truncated")
+    out = tmp_path / "agg.json"
+    r = subprocess.run(
+        [sys.executable, str(TOOL), "--plain", str(p),
+         "--bf16", str(bad), "--out", str(out)],
+        check=True, capture_output=True, text=True)
+    assert "skipping unparseable" in r.stderr
+    agg = json.loads(out.read_text())
+    assert agg["headline"]["clears_mandate"] is False
+    assert agg["mandate"]["cleared_by"] == []
+    assert set(agg["decode_modes"]) == {"plain"}
