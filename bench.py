@@ -80,10 +80,12 @@ def _build():
     # (approximation — flip only after its quality gate).
     dd = os.environ.get("BENCH_STAGEC_DEDUP", "0") not in ("0", "false")
     sn = os.environ.get("BENCH_STAGEC_NEAREST", "0") not in ("0", "false")
+    sd = os.environ.get("BENCH_STAGEC_DTYPE")  # e.g. "fp8"
     model = LunaTokis(
         gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None,
         mlp_dtype=jnp.bfloat16 if md in ("bf16", "bfloat16") else None,
-        encode_splitk=sk, stagec_dedup=dd, stagec_nearest=sn)
+        encode_splitk=sk, stagec_dedup=dd, stagec_nearest=sn,
+        stagec_dtype=jnp.float8_e4m3fn if sd in ("fp8", "float8") else None)
     rng = np.random.default_rng(0)
     xn = rng.random((1, 2, LR_H, LR_W, 3)).astype(np.float32)
     tn = np.asarray([i / N_TIMES for i in range(N_TIMES)], np.float32)
@@ -332,6 +334,7 @@ def main():
         not in ("0", "false"),
         "stagec_nearest": os.environ.get("BENCH_STAGEC_NEAREST", "0")
         not in ("0", "false"),
+        "stagec_dtype": os.environ.get("BENCH_STAGEC_DTYPE") or None,
         "gather_dtype": os.environ.get("BENCH_GATHER_DTYPE", "bf16"),
         "mlp_dtype": os.environ.get("BENCH_MLP_DTYPE", "bf16"),
         # the impl actually dispatched (env may ask for one that degrades,

@@ -129,6 +129,12 @@ class LunaTokis(nn.Module):
     # the rgb_skip/appearance signal). An approximation, not the reference
     # bilinear warp (Sakuya_arch_test.py:424-453) — quality-gated opt-in.
     stagec_nearest: bool = False
+    # decoder bilinear-gather source dtype override (stages B+C; stage C
+    # dominates the volume — e.g. jnp.float8_e4m3fn halves the gathered
+    # bytes vs bf16; interpolation stays fp32). None -> inherit
+    # ``gather_dtype``. Quality-gated opt-in like the other narrowing
+    # levers.
+    stagec_dtype: object = None
 
     def setup(self):
         nf = self.nf
@@ -240,10 +246,12 @@ class LunaTokis(nn.Module):
         base_a = jnp.concatenate([q_feat_a, q_inp_a, rel], axis=-1)  # (B,Q,200)
 
         # bilinear decoder gathers optionally read a reduced-precision source
-        # (same lever as the DCN gathers; interpolation stays fp32)
+        # (same lever as the DCN gathers; interpolation stays fp32);
+        # stage-C may narrow further via ``stagec_dtype`` (e.g. fp8 storage)
         def gs_b(v, g):
             return grid_sample(v, g, mode="bilinear",
-                               source_dtype=self.gather_dtype)
+                               source_dtype=self.stagec_dtype
+                               or self.gather_dtype)
 
         # stage-B gathers of time-independent fields (fused when hr_inp is at
         # LR resolution, i.e. the non-test ``decoding`` path)
@@ -532,7 +540,8 @@ class LunaTokis(nn.Module):
         hr_inp_tl = tile_t(hr_inp)
         def gs_b(v, g):
             return grid_sample(v, g, mode="bilinear",
-                               source_dtype=self.gather_dtype)
+                               source_dtype=self.stagec_dtype
+                               or self.gather_dtype)
 
         q_feat1 = gs_b(hrfeat_full, g1)
         q_img1 = gs_b(hr_inp_tl, g1)
