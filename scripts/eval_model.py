@@ -170,6 +170,16 @@ def main():
                     help="load weights from a reference-schema .pth export")
     ap.add_argument("--gather-dtype", default=None, choices=[None, "bf16"])
     ap.add_argument("--mlp-dtype", default=None, choices=[None, "bf16"])
+    ap.add_argument("--stagec-nearest", action="store_true",
+                    help="quality-gate knob: nearest gather for the wide "
+                         "stage-C feat component (LunaTokis.stagec_nearest)")
+    ap.add_argument("--stagec-dedup", action="store_true",
+                    help="quality-gate knob: time-axis dedup of the stage-C "
+                         "LR gather (bit-exact; memory-shape change only)")
+    ap.add_argument("--stagec-dtype", default=None,
+                    choices=[None, "fp8", "bf16"],
+                    help="quality-gate knob: storage dtype for decoder "
+                         "bilinear-gather sources (fp32 interpolation)")
     ap.add_argument("--out", default=None)
     ap.add_argument("--scenes", type=int, default=4)
     ap.add_argument("--platform", default=None)
@@ -218,6 +228,12 @@ def main():
         opt["network_G"]["gather_dtype"] = "bf16"
     if args.mlp_dtype == "bf16":
         opt["network_G"]["mlp_dtype"] = "bf16"
+    if args.stagec_nearest:
+        opt["network_G"]["stagec_nearest"] = True
+    if args.stagec_dedup:
+        opt["network_G"]["stagec_dedup"] = True
+    if args.stagec_dtype:
+        opt["network_G"]["stagec_dtype"] = args.stagec_dtype
     net = define_g(opt)
 
     # abstract params (minimal-shape jitted init on CPU), then restore
@@ -366,6 +382,9 @@ def main():
         "checkpoint_step": ckpt_step,
         "gather_dtype": args.gather_dtype or "fp32",
         "mlp_dtype": args.mlp_dtype or "fp32",
+        "stagec": {"nearest": args.stagec_nearest,
+                   "dedup": args.stagec_dedup,
+                   "dtype": args.stagec_dtype or "inherit"},
         "decode_mode": ("localensemble" if args.local_ensemble else
                         "test" if args.test_mode else "decoding")
                        + ("+self_ensemble" if args.self_ensemble else ""),

@@ -43,6 +43,13 @@ def define_g(opt: dict):
             kwargs["lstm_fuse_dirs"] = bool(net.get("lstm_fuse_dirs"))
         if net.get("stagec_nearest"):
             kwargs["stagec_nearest"] = True
+        if net.get("stagec_dtype"):
+            import jax.numpy as jnp
+
+            kwargs["stagec_dtype"] = {
+                "fp8": jnp.float8_e4m3fn, "float8_e4m3fn": jnp.float8_e4m3fn,
+                "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+            }[str(net.get("stagec_dtype"))]
         return LunaTokis(**kwargs)
     if which == "LIIF_train":
         return LunaTokisTrain(**kwargs)
