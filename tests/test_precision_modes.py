@@ -84,6 +84,41 @@ def test_stagec_dedup_batched(tiny_setup):
     assert float(jnp.max(jnp.abs(got - want))) == 0.0
 
 
+def test_stagec_nearest_close(tiny_setup):
+    """stagec_nearest swaps the wide feat component's 2x2 bilinear patch for
+    a 1-index nearest gather — an approximation, not an identity: outputs
+    must stay in the same range as the bilinear form on smooth inputs and
+    share the parameter schema (same params apply)."""
+    model, params, x, times = tiny_setup
+    want = model.apply(params, x, times)
+    model_nn = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                         stagec_nearest=True)
+    got = model_nn.apply(params, x, times)
+    assert got.shape == want.shape and got.dtype == want.dtype
+    assert bool(jnp.all(jnp.isfinite(got)))
+    # nearest vs bilinear on a random tiny scene: bounded, not bit-equal
+    d = float(jnp.max(jnp.abs(got - want)))
+    assert 0.0 < d < 0.5, d
+
+
+def test_stagec_dtype_fp8_close(tiny_setup):
+    """stagec_dtype=fp8 stores the decoder's stage-B/C gather sources in
+    float8_e4m3fn (half the gathered bytes vs bf16) with fp32 interpolation:
+    quality lever, gated by tolerance rather than parity."""
+    model, params, x, times = tiny_setup
+    want = model.apply(params, x, times)
+    model8 = LunaTokis(nf=16, front_RBs=1, back_RBs=1, groups=2,
+                       stagec_dtype=jnp.float8_e4m3fn)
+    got = model8.apply(params, x, times)
+    assert got.dtype == want.dtype
+    assert bool(jnp.all(jnp.isfinite(got)))
+    # e4m3 has ~2 mantissa-bit-equivalent relative error (~6%); decoder
+    # outputs are [0,1]-ish so an absolute bound of 2e-1 catches wiring
+    # bugs (wrong source, missing rescale) without gating quality here —
+    # the trained-checkpoint eval A/B is the real gate.
+    assert float(jnp.max(jnp.abs(got - want))) < 2e-1
+
+
 def test_lstm_fuse_dirs_equal(tiny_setup):
     # fused (one 2B scan over the shared-weight BiLSTM) vs the two-pass
     # reference form: per-sample math is identical — exact to fp32 noise
