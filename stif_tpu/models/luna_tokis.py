@@ -545,10 +545,22 @@ class LunaTokis(nn.Module):
 
         q_feat1 = gs_b(hrfeat_full, g1)
         q_img1 = gs_b(hr_inp_tl, g1)
-        q_feat3 = gs_b(feat_tl, g1)
         q_feat2 = gs_b(hrfeat_full, g2)
         q_img2 = gs_b(hr_inp_tl, g2)
-        q_feat4 = gs_b(feat_tl, g2)
+        if self.stagec_nearest and hr_inp.shape[1:3] == feat.shape[1:3]:
+            # same approximation under the same condition as the full-grid
+            # path (which only takes the nearest form on equal-resolution
+            # stage-C sources): the wide feat component samples nearest
+            # (1 idx/query), warped inputs stay bilinear — keeps
+            # ChunkedDecoder output consistent with full decode under the
+            # knob instead of silently ignoring it
+            q_feat3 = grid_sample(feat_tl, g1, mode="nearest",
+                                  source_dtype=self.gather_dtype)
+            q_feat4 = grid_sample(feat_tl, g2, mode="nearest",
+                                  source_dtype=self.gather_dtype)
+        else:
+            q_feat3 = gs_b(feat_tl, g1)
+            q_feat4 = gs_b(feat_tl, g2)
         t_nb = _times_nb(times, B, jnp.float32)
         pe = jnp.broadcast_to(t_nb[:, :, None, None],
                               (nt, B, Cq, 1)).reshape(ntB, Cq, 1)

@@ -196,6 +196,32 @@ class TestChunkedDecoder:
         np.testing.assert_allclose(got, want, atol=2e-5)
 
     @pytest.mark.slow
+    def test_matches_direct_decode_stagec_nearest(self, rng):
+        """ChunkedDecoder must honor stagec_nearest exactly like the
+        full-grid decode (same nearest gathers for the wide feat component)
+        rather than silently falling back to bilinear."""
+        from stif_tpu.models import LunaTokis
+        from stif_tpu.runtime.chunked import ChunkedDecoder
+
+        model = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1,
+                          stagec_nearest=True)
+        x = jnp.asarray(rng.random((1, 2, 8, 12, 3)).astype(np.float32))
+        times = jnp.asarray([0.0, 0.5, 1.0])
+        params = model.init(jax.random.PRNGKey(0), x, times,
+                            method=model.full_init)
+        feat = model.apply(params, x, method=model.gen_feat)
+        want = np.asarray(model.apply(params, feat, x, times,
+                                      method=model.decode))
+        # sanity: the knob actually changes the output vs the bilinear form
+        plain = LunaTokis(nf=8, groups=2, front_RBs=1, back_RBs=1)
+        bil = np.asarray(plain.apply(params, feat, x, times,
+                                     method=plain.decode))
+        assert float(np.max(np.abs(want - bil))) > 0.0
+        dec = ChunkedDecoder(model, params, chunk_size=500)
+        got = dec.decode(feat, x, times, (32, 48))
+        np.testing.assert_allclose(got, want, atol=2e-5)
+
+    @pytest.mark.slow
     def test_test_mode_variant(self, rng):
         from stif_tpu.models import LunaTokis
         from stif_tpu.runtime.chunked import ChunkedDecoder
