@@ -70,8 +70,22 @@ python tools/aggregate_eval.py --plain EVAL_r05_plain.json \
     --bf16 EVAL_r05_bf16.json --le EVAL_r05_le.json \
     --le-se EVAL_r05_le_se.json --out EVAL_r05.json
 
+# 2e-2g. stage-C byte-reduction knob quality gates on the adopted weights
+#   (VERDICT r4 #4): dedup must be exactly 0 delta; nearest / fp8 are
+#   approximations — their deltas decide the bench.py defaults.
+python scripts/eval_model.py -opt $OPT --pth $PTH --stagec-dedup \
+    --scale-sweep "" --out EVAL_r05_stagec_dedup.json
+python scripts/eval_model.py -opt $OPT --pth $PTH --stagec-nearest \
+    --scale-sweep "" --out EVAL_r05_stagec_nearest.json
+python scripts/eval_model.py -opt $OPT --pth $PTH --stagec-dtype fp8 \
+    --scale-sweep "" --out EVAL_r05_stagec_fp8.json
+
 # 3. perf microbench refresh (median-of-pairs timing — no more negative ms)
 python tools/gather_bench.py > GATHER_BENCH_r05.json
+
+# 3b. per-stage profile (BiLSTM direction fusing is this round's encoder
+#     lever; VERDICT r4 #6 done-criterion: encode <= 0.30 s)
+python tools/profile_bench.py --out PROFILE_r05.json --trace-dir runs/profile/r5
 
 # 4. multichip dryrun (staged evidence + budget skip)
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
@@ -79,7 +93,9 @@ python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 # 5. commit the round's evidence — one git add per artifact so a missing
 #    file cannot suppress the rest (ADVICE r4 on round4_finish.sh)
 for f in EVAL_r05_plain.json EVAL_r05_bf16.json EVAL_r05_le.json \
-         EVAL_r05_le_se.json EVAL_r05.json GATHER_BENCH_r05.json; do
+         EVAL_r05_le_se.json EVAL_r05.json EVAL_r05_stagec_dedup.json \
+         EVAL_r05_stagec_nearest.json EVAL_r05_stagec_fp8.json \
+         GATHER_BENCH_r05.json PROFILE_r05.json; do
   [ -f "$f" ] && git add "$f" || echo "[finish] missing artifact: $f" >&2
 done
 git commit -q -m "artifacts: round-5 quality + perf evidence (finish runbook)" || true
