@@ -81,11 +81,19 @@ def _build():
     dd = os.environ.get("BENCH_STAGEC_DEDUP", "0") not in ("0", "false")
     sn = os.environ.get("BENCH_STAGEC_NEAREST", "0") not in ("0", "false")
     sd = os.environ.get("BENCH_STAGEC_DTYPE")  # e.g. "fp8"
+    # Measure the DEPLOYED architecture: the round-5 trained deliverable is
+    # rgb_skip=bicubic (residual-over-bicubic decode head), so the perf
+    # headline and the quality headline are the SAME configuration — the r4
+    # verdict flagged that they had diverged. BENCH_RGB_SKIP=none restores
+    # the reference-semantics plain head for apples-to-apples history.
+    rs = os.environ.get("BENCH_RGB_SKIP", "bicubic")
     model = LunaTokis(
         gather_dtype=jnp.bfloat16 if gd in ("bf16", "bfloat16") else None,
         mlp_dtype=jnp.bfloat16 if md in ("bf16", "bfloat16") else None,
         encode_splitk=sk, stagec_dedup=dd, stagec_nearest=sn,
-        stagec_dtype=jnp.float8_e4m3fn if sd in ("fp8", "float8") else None)
+        stagec_dtype=jnp.float8_e4m3fn if sd in ("fp8", "float8") else None,
+        rgb_skip=rs not in ("none", "0", "false"),
+        rgb_skip_bicubic=(rs == "bicubic"))
     rng = np.random.default_rng(0)
     xn = rng.random((1, 2, LR_H, LR_W, 3)).astype(np.float32)
     tn = np.asarray([i / N_TIMES for i in range(N_TIMES)], np.float32)
@@ -335,6 +343,7 @@ def main():
         "stagec_nearest": os.environ.get("BENCH_STAGEC_NEAREST", "0")
         not in ("0", "false"),
         "stagec_dtype": os.environ.get("BENCH_STAGEC_DTYPE") or None,
+        "rgb_skip": os.environ.get("BENCH_RGB_SKIP", "bicubic"),
         "gather_dtype": os.environ.get("BENCH_GATHER_DTYPE", "bf16"),
         "mlp_dtype": os.environ.get("BENCH_MLP_DTYPE", "bf16"),
         # the impl actually dispatched (env may ask for one that degrades,
