@@ -57,6 +57,11 @@ def main():
     ap.add_argument("--bf16", default=None)
     ap.add_argument("--le", default=None)
     ap.add_argument("--le-se", dest="le_se", default=None)
+    # stage-C byte-reduction knob gates (VERDICT r4 #4): measured on the
+    # adopted weights; their deltas vs plain decide the bench.py defaults
+    ap.add_argument("--stagec-dedup", dest="stagec_dedup", default=None)
+    ap.add_argument("--stagec-nearest", dest="stagec_nearest", default=None)
+    ap.add_argument("--stagec-fp8", dest="stagec_fp8", default=None)
     ap.add_argument("--out", required=True)
     args = ap.parse_args()
 
@@ -100,6 +105,24 @@ def main():
         "cleared_by": [n for n, r in summary.items()
                        if r["clears_t0_vs_bicubic"] and r["clears_t05"]],
     }
+    knob_gates = {}
+    for name, path in (("stagec_dedup", args.stagec_dedup),
+                       ("stagec_nearest", args.stagec_nearest),
+                       ("stagec_fp8", args.stagec_fp8)):
+        rec = _load(path)
+        if rec is None:
+            continue
+        row = _times(rec)
+        knob_gates[name] = {
+            "t0_psnr_y": row["t0_psnr_y"],
+            "t05_psnr_y": row["t05_psnr_y"],
+            "t0_delta_db": round(row["t0_psnr_y"]
+                                 - summary["plain"]["t0_psnr_y"], 4),
+            "t05_delta_db": round(row["t05_psnr_y"]
+                                  - summary["plain"]["t05_psnr_y"], 4),
+        }
+    if knob_gates:
+        agg["stagec_knob_gates"] = knob_gates
     if "bf16" in summary:
         agg["bf16_gate"] = {
             "t0_delta_db": round(summary["bf16"]["t0_psnr_y"]
@@ -112,7 +135,9 @@ def main():
         json.dump(agg, f, indent=2)
     print(json.dumps({"headline": agg["headline"],
                       "mandate": agg["mandate"],
-                      "bf16_gate": agg.get("bf16_gate")}, indent=2))
+                      "bf16_gate": agg.get("bf16_gate"),
+                      "stagec_knob_gates": agg.get("stagec_knob_gates")},
+                     indent=2))
 
 
 if __name__ == "__main__":

@@ -65,11 +65,6 @@ python scripts/eval_model.py -opt $OPT --pth $PTH --local-ensemble \
 python scripts/eval_model.py -opt $OPT --pth $PTH --local-ensemble \
     --self-ensemble --scale-sweep "" --out EVAL_r05_le_se.json
 
-# 2d. merge the per-mode runs into the single mandate artifact
-python tools/aggregate_eval.py --plain EVAL_r05_plain.json \
-    --bf16 EVAL_r05_bf16.json --le EVAL_r05_le.json \
-    --le-se EVAL_r05_le_se.json --out EVAL_r05.json
-
 # 2e-2g. stage-C byte-reduction knob quality gates on the adopted weights
 #   (VERDICT r4 #4): dedup must be exactly 0 delta; nearest / fp8 are
 #   approximations — their deltas decide the bench.py defaults.
@@ -79,6 +74,14 @@ python scripts/eval_model.py -opt $OPT --pth $PTH --stagec-nearest \
     --scale-sweep "" --out EVAL_r05_stagec_nearest.json
 python scripts/eval_model.py -opt $OPT --pth $PTH --stagec-dtype fp8 \
     --scale-sweep "" --out EVAL_r05_stagec_fp8.json
+
+# 2d. merge the per-mode runs + knob gates into the single mandate artifact
+python tools/aggregate_eval.py --plain EVAL_r05_plain.json \
+    --bf16 EVAL_r05_bf16.json --le EVAL_r05_le.json \
+    --le-se EVAL_r05_le_se.json \
+    --stagec-dedup EVAL_r05_stagec_dedup.json \
+    --stagec-nearest EVAL_r05_stagec_nearest.json \
+    --stagec-fp8 EVAL_r05_stagec_fp8.json --out EVAL_r05.json
 
 # 3. perf microbench refresh (median-of-pairs timing — no more negative ms)
 python tools/gather_bench.py > GATHER_BENCH_r05.json
