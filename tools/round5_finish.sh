@@ -90,8 +90,12 @@ python tools/gather_bench.py > GATHER_BENCH_r05.json
 #     lever; VERDICT r4 #6 done-criterion: encode <= 0.30 s)
 python tools/profile_bench.py --out PROFILE_r05.json --trace-dir runs/profile/r5
 
-# 4. multichip dryrun (staged evidence + budget skip)
-python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+# 4. multichip dryrun (staged evidence + budget skip). The driver runs this
+#    itself for MULTICHIP_r05.json; SKIP_DRYRUN=1 frees ~15 min of a tight
+#    endgame window (the in-runbook run is corroborating evidence only).
+if [ "${SKIP_DRYRUN:-0}" != "1" ]; then
+  python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+fi
 
 # 5. commit the round's evidence — one git add per artifact so a missing
 #    file cannot suppress the rest (ADVICE r4 on round4_finish.sh)
